@@ -1,0 +1,233 @@
+"""Dense masked E(3)-equivariant GNN for padded fragment point clouds.
+
+TPU-first reformulation of the reference EGNN
+(endiffusion/models/layers/egnn_new.py): instead of materializing B*N^2 edge
+index lists and scatter-adds, everything is a dense (B, N, N, ...) tensor with
+an edge mask, so message passing is batched matmuls (MXU) plus masked
+reductions over the neighbor axis (VPU) — no gathers or scatters at all.
+
+The pairwise first linear layer is decomposed: ``cat([h_i, h_j, e]) @ W`` is
+computed as ``h @ W_src  (+bcast)  h @ W_dst  (+)  e @ W_e`` which avoids ever
+writing the (B, N, N, 2H+e) concatenated tensor to HBM — the largest
+intermediate is the (B, N, N, H) message tensor itself.
+
+Semantics intentionally match the reference exactly (same MLP shapes,
+attention gating, residuals, normalization_factor, tanh coordinate bound,
+per-block re-computed distances) so trained behavior is comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def xavier_scaled_init(gain: float):
+    """Xavier-uniform scaled by ``gain`` (for near-zero coordinate heads,
+    reference: egnn_new.py:80-81)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = shape[0], shape[1]
+        a = gain * jnp.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(key, shape, dtype, -a, a)
+
+    return init
+
+
+def coord2diff_dense(x: Array, norm_constant: float = 1.0):
+    """Pairwise squared distances and normalized difference vectors.
+
+    x: (B, N, 3) -> radial (B, N, N, 1), diff (B, N, N, 3) where
+    diff[b,i,j] = (x_i - x_j) / (|x_i - x_j| + norm_constant).
+    (reference: egnn_new.py:260-266)
+    """
+    diff = x[:, :, None, :] - x[:, None, :, :]
+    radial = jnp.sum(diff**2, axis=-1, keepdims=True)
+    norm = jnp.sqrt(radial + 1e-8)
+    return radial, diff / (norm + norm_constant)
+
+
+class PairDense(nn.Module):
+    """Decomposed linear over pairwise concatenated features.
+
+    Computes ``Dense(cat([h_i, h_j, e]))[b,i,j]`` without forming the concat:
+    three separate matmuls, broadcast-added. Output shape (B, N, N, features).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, h: Array, e: Optional[Array]) -> Array:
+        hdim = h.shape[-1]
+        w_src = self.param("w_src", nn.initializers.lecun_normal(), (hdim, self.features))
+        w_dst = self.param("w_dst", nn.initializers.lecun_normal(), (hdim, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        out = (h @ w_src)[:, :, None, :] + (h @ w_dst)[:, None, :, :] + b
+        if e is not None:
+            w_e = self.param("w_e", nn.initializers.lecun_normal(), (e.shape[-1], self.features))
+            out = out + e @ w_e
+        return out
+
+
+class DenseGCL(nn.Module):
+    """Invariant graph conv layer over dense masked edges.
+
+    m_ij = silu(Dense(silu(PairDense(h_i, h_j, e_ij))))      # edge MLP
+    m_ij *= sigmoid(att(m_ij))                               # optional gate
+    agg_i = sum_j m_ij * edge_mask / normalization_factor    # masked row-sum
+    h_i  += Dense(silu(Dense(cat[h_i, agg_i])))              # node MLP
+    (reference: egnn_new.py:8-70)
+    """
+
+    hidden_nf: int
+    normalization_factor: float = 100.0
+    aggregation_method: str = "sum"
+    attention: bool = False
+
+    @nn.compact
+    def __call__(self, h: Array, edge_attr: Array, node_mask: Array, edge_mask: Array) -> Array:
+        mij = PairDense(self.hidden_nf, name="edge_in")(h, edge_attr)
+        mij = nn.silu(mij)
+        mij = nn.Dense(self.hidden_nf, name="edge_out")(mij)
+        mij = nn.silu(mij)
+
+        if self.attention:
+            att = nn.sigmoid(nn.Dense(1, name="att")(mij))
+            mij = mij * att
+
+        mij = mij * edge_mask
+        if self.aggregation_method == "sum":
+            agg = jnp.sum(mij, axis=2) / self.normalization_factor
+        elif self.aggregation_method == "mean":
+            denom = jnp.maximum(jnp.sum(edge_mask, axis=2), 1.0)
+            agg = jnp.sum(mij, axis=2) / denom
+        else:
+            raise ValueError(self.aggregation_method)
+
+        out = nn.Dense(self.hidden_nf, name="node_in")(jnp.concatenate([h, agg], axis=-1))
+        out = nn.silu(out)
+        out = nn.Dense(self.hidden_nf, name="node_out")(out)
+        h = h + out
+        return h * node_mask
+
+
+class DenseEquivariantUpdate(nn.Module):
+    """Coordinate update: x_i += sum_j (x_i-x_j)/(d+c) * phi(h_i,h_j,e_ij).
+
+    phi ends in a zero-ish-init scalar head, optionally tanh-bounded by
+    ``coords_range``. (reference: egnn_new.py:73-110)
+    """
+
+    hidden_nf: int
+    normalization_factor: float = 100.0
+    aggregation_method: str = "sum"
+    tanh: bool = False
+    coords_range: float = 10.0
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array, coord_diff: Array, edge_attr: Array,
+                 node_mask: Array, edge_mask: Array) -> Array:
+        inp = PairDense(self.hidden_nf, name="coord_in")(h, edge_attr)
+        inp = nn.silu(inp)
+        inp = nn.Dense(self.hidden_nf, name="coord_mid")(inp)
+        inp = nn.silu(inp)
+        scalar = nn.Dense(1, use_bias=False, kernel_init=xavier_scaled_init(0.001), name="coord_head")(inp)
+        if self.tanh:
+            scalar = jnp.tanh(scalar) * self.coords_range
+        trans = coord_diff * scalar * edge_mask
+        if self.aggregation_method == "sum":
+            agg = jnp.sum(trans, axis=2) / self.normalization_factor
+        elif self.aggregation_method == "mean":
+            denom = jnp.maximum(jnp.sum(edge_mask, axis=2), 1.0)
+            agg = jnp.sum(trans, axis=2) / denom
+        else:
+            raise ValueError(self.aggregation_method)
+        return (x + agg) * node_mask
+
+
+class DenseEquivariantBlock(nn.Module):
+    """inv_sublayers x DenseGCL + one coordinate update, with per-block
+    recomputed distances appended to the block-input distance channel.
+    (reference: egnn_new.py:113-152)
+    """
+
+    hidden_nf: int
+    n_layers: int = 2
+    attention: bool = True
+    tanh: bool = False
+    coords_range: float = 15.0
+    norm_constant: float = 1.0
+    normalization_factor: float = 100.0
+    aggregation_method: str = "sum"
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array, distances0: Array, node_mask: Array, edge_mask: Array):
+        radial, coord_diff = coord2diff_dense(x, self.norm_constant)
+        edge_attr = jnp.concatenate([radial, distances0], axis=-1)
+        for i in range(self.n_layers):
+            h = DenseGCL(
+                self.hidden_nf,
+                normalization_factor=self.normalization_factor,
+                aggregation_method=self.aggregation_method,
+                attention=self.attention,
+                name=f"gcl_{i}",
+            )(h, edge_attr, node_mask, edge_mask)
+        x = DenseEquivariantUpdate(
+            self.hidden_nf,
+            normalization_factor=self.normalization_factor,
+            aggregation_method=self.aggregation_method,
+            tanh=self.tanh,
+            coords_range=self.coords_range,
+            name="gcl_equiv",
+        )(h, x, coord_diff, edge_attr, node_mask, edge_mask)
+        return h * node_mask, x
+
+
+class DenseEGNN(nn.Module):
+    """Full EGNN: embed -> n_layers equivariant blocks -> project out.
+
+    Inputs are dense padded: h (B, N, in_nf), x (B, N, 3), node_mask
+    (B, N, 1), edge_mask (B, N, N, 1). Returns updated (h, x).
+    (reference: egnn_new.py:155-205)
+    """
+
+    hidden_nf: int = 256
+    out_node_nf: Optional[int] = None
+    n_layers: int = 6
+    inv_sublayers: int = 2
+    attention: bool = True
+    tanh: bool = True
+    coords_range: float = 30.0
+    norm_constant: float = 1.0
+    normalization_factor: float = 100.0
+    aggregation_method: str = "sum"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array, node_mask: Array, edge_mask: Array):
+        out_nf = self.out_node_nf if self.out_node_nf is not None else h.shape[-1]
+        distances0, _ = coord2diff_dense(x, norm_constant=1.0)
+        h = nn.Dense(self.hidden_nf, name="embedding")(h)
+        coords_range_layer = float(self.coords_range) / self.n_layers
+        block_cls = DenseEquivariantBlock
+        if self.remat:
+            block_cls = nn.remat(DenseEquivariantBlock, static_argnums=())
+        for i in range(self.n_layers):
+            h, x = block_cls(
+                self.hidden_nf,
+                n_layers=self.inv_sublayers,
+                attention=self.attention,
+                tanh=self.tanh,
+                coords_range=coords_range_layer,
+                norm_constant=self.norm_constant,
+                normalization_factor=self.normalization_factor,
+                aggregation_method=self.aggregation_method,
+                name=f"e_block_{i}",
+            )(h, x, distances0, node_mask, edge_mask)
+        h = nn.Dense(out_nf, name="embedding_out")(h)
+        return h * node_mask, x

@@ -1,0 +1,115 @@
+"""Masked-tensor primitives for padded point-cloud batches.
+
+All batches are dense padded tensors: ``x`` of shape (B, N, D) with a node
+mask (B, N, 1) marking real nodes. Coordinates live on the center-of-mass-free
+subspace: every projection here mirrors the semantics of the reference's
+masked utilities (reference: endiffusion/models/utils.py:43-167) but is
+written as pure JAX over static shapes so it fuses under ``jit``/``scan``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def sum_except_batch(x: Array) -> Array:
+    """Sum over all axes but the first. (reference: models/utils.py:33-34)"""
+    return jnp.sum(x.reshape(x.shape[0], -1), axis=-1)
+
+
+def remove_mean_with_mask(x: Array, node_mask: Array, fix_size: int | None = None) -> Array:
+    """Subtract the masked mean over nodes; result is CoM-free on real nodes.
+
+    ``fix_size`` restricts the mean to the first ``fix_size`` nodes (used for
+    pocket conditioning where the pocket tail stays frozen).
+    (reference: endiffusion/models/utils.py:43-57)
+    """
+    node_mask = node_mask.astype(x.dtype)
+    if fix_size is None:
+        fix_size = x.shape[1]
+    n = jnp.sum(node_mask[:, :fix_size], axis=1, keepdims=True)
+    mean = jnp.sum(x[:, :fix_size] * node_mask[:, :fix_size], axis=1, keepdims=True) / jnp.maximum(n, 1.0)
+    return (x - mean) * node_mask
+
+
+def mean_zero_max_violation(x: Array, node_mask: Array) -> Array:
+    """Relative deviation of the masked per-batch sum from zero.
+
+    Debug-check equivalent of the reference's ``assert_mean_zero_with_mask``
+    (endiffusion/models/utils.py:65-70); returns a scalar instead of raising
+    so it can live inside jit (assert at the host boundary in tests).
+    """
+    x = x * node_mask.astype(x.dtype)
+    largest = jnp.max(jnp.abs(x))
+    err = jnp.max(jnp.abs(jnp.sum(x, axis=1)))
+    return err / (largest + 1e-10)
+
+
+def masking_violation(x: Array, node_mask: Array) -> Array:
+    """Max |x| outside the mask. (reference: models/utils.py:73-75)"""
+    return jnp.max(jnp.abs(x * (1.0 - node_mask.astype(x.dtype))))
+
+
+def sample_gaussian_with_mask(key: Array, shape: tuple, node_mask: Array) -> Array:
+    """Standard normal noise, zeroed outside the mask.
+    (reference: models/utils.py:156-159)
+    """
+    x = jax.random.normal(key, shape)
+    return x * node_mask.astype(x.dtype)
+
+
+def sample_com_free_gaussian_with_mask(key: Array, shape: tuple, node_mask: Array) -> Array:
+    """CoM-free Gaussian: N(0, I) projected to the mean-zero subspace.
+
+    Valid because an isotropic Gaussian is rotation-invariant around zero, so
+    the projection of masked iid noise is exactly the subspace Gaussian.
+    (reference: models/utils.py:126-135)
+    """
+    x = jax.random.normal(key, shape) * node_mask.astype(jnp.float32)
+    return remove_mean_with_mask(x, node_mask)
+
+
+def sample_combined_noise(key: Array, node_mask: Array, n_dims: int, h_nf: int) -> Array:
+    """CoM-free noise for the x block, iid noise for the h block, concatenated.
+    (reference: endiffusion/train_module/diffusion_qm9.py:445-456)
+    """
+    b, n = node_mask.shape[:2]
+    kx, kh = jax.random.split(key)
+    z_x = sample_com_free_gaussian_with_mask(kx, (b, n, n_dims), node_mask)
+    z_h = sample_gaussian_with_mask(kh, (b, n, h_nf), node_mask)
+    return jnp.concatenate([z_x, z_h], axis=2)
+
+
+def com_free_gaussian_log_likelihood_with_mask(x: Array, node_mask: Array) -> Array:
+    """log N(x; 0, I) restricted to the (N-1)*D CoM-free subspace.
+    (reference: models/utils.py:106-123)
+    """
+    d = x.shape[2]
+    r2 = sum_except_batch(jnp.square(x))
+    n = jnp.sum(node_mask.astype(x.dtype).squeeze(2), axis=1)
+    dof = (n - 1.0) * d
+    return -0.5 * r2 - 0.5 * dof * math.log(2 * math.pi)
+
+
+def standard_gaussian_log_likelihood_with_mask(x: Array, node_mask: Array) -> Array:
+    """Masked iid standard-normal log-likelihood. (reference: models/utils.py:149-153)"""
+    ll = -0.5 * x * x - 0.5 * math.log(2 * math.pi)
+    return sum_except_batch(ll * node_mask.astype(x.dtype))
+
+
+def cdf_standard_gaussian(x: Array) -> Array:
+    """Phi(x). (reference: models/utils.py:161-162)"""
+    return 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
+
+
+def subspace_dimensionality(node_mask: Array, n_dims: int) -> Array:
+    """(N-1)*n_dims per batch element — dims of the CoM-free x subspace.
+    (reference: diffusion_qm9.py:160-163)
+    """
+    n = jnp.sum(node_mask.astype(jnp.float32).squeeze(2), axis=1)
+    return (n - 1.0) * n_dims
