@@ -1,0 +1,79 @@
+"""Synthetic GEOM-like fragment trees for smoke training and benchmarks.
+
+Generates random junction trees whose statistics mirror the real pipeline:
+node counts from the GEOM histogram, fragment features drawn from the actual
+vocabulary fingerprint table (so the `array_dict` feature buckets are
+realizable), and 3D fragment centers laid out along the tree with
+chemically plausible inter-fragment distances.
+
+The real data path (RDKit tree_decomp over GEOM conformers) lives in
+``hierdiff_tpu.chem``; this module exists so every training / sampling /
+benchmark component runs end-to-end without the 300GB GEOM download.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from hierdiff_tpu.data.assets import load_geom_histogram, load_vocab_fps, load_vocab_smiles
+
+
+@dataclass
+class SyntheticTree:
+    """A blurred junction tree: features, positions, adjacency, vocab ids."""
+
+    feats: np.ndarray       # (n, 8) prop features [hbd, fp0..4, tpsa, asa]
+    pos: np.ndarray         # (n, 3) fragment centers
+    adj: np.ndarray         # (n, n) 0/1 symmetric tree adjacency
+    wids: np.ndarray        # (n,) vocab indices
+    sizes: np.ndarray       # (n,) heavy-atom counts
+
+
+class SyntheticTreeGenerator:
+    def __init__(self, seed: int = 0, mode: str = "prop"):
+        self.rng = np.random.default_rng(seed)
+        hist = load_geom_histogram()
+        self.counts = np.array(sorted(hist.keys()))
+        p = np.array([hist[int(c)] for c in self.counts], dtype=np.float64)
+        self.count_probs = p / p.sum()
+        self.smiles = load_vocab_smiles()
+        fps = load_vocab_fps(mode)
+        self.fp_table = np.stack([fps[s] for s in self.smiles])  # (V, 5)
+        self.mode = mode
+
+    def sample_count(self) -> int:
+        return int(self.rng.choice(self.counts, p=self.count_probs))
+
+    def sample_tree(self, n: Optional[int] = None) -> SyntheticTree:
+        if n is None:
+            n = self.sample_count()
+        rng = self.rng
+        # random tree: attach node i to a uniform previous node
+        adj = np.zeros((n, n), np.float64)
+        pos = np.zeros((n, 3))
+        parents = np.zeros(n, np.int64)
+        for i in range(1, n):
+            p = int(rng.integers(0, i))
+            parents[i] = p
+            adj[i, p] = adj[p, i] = 1.0
+            direction = rng.normal(size=3)
+            direction /= np.linalg.norm(direction) + 1e-9
+            dist = 2.4 + rng.random() * 2.2  # fragment-center spacing ~2.4-4.6 A
+            pos[i] = pos[p] + direction * dist
+        pos -= pos.mean(axis=0, keepdims=True)
+
+        wids = rng.integers(0, len(self.smiles), size=n)
+        fp = self.fp_table[wids]                       # (n, 5)
+        hbd = rng.poisson(0.8, size=n).clip(0, 6).astype(np.float64)
+        tpsa = rng.gamma(2.0, 1.0, size=n)             # /10-scaled TPSA-like
+        asa = 2.0 + rng.gamma(2.0, 1.5, size=n)        # /10-scaled ASA-like
+        feats = np.concatenate([hbd[:, None], fp, tpsa[:, None], asa[:, None]], axis=1)
+        sizes = fp[:, 3].astype(np.int64)              # col 3 = heavy-atom count
+        return SyntheticTree(feats=feats.astype(np.float32), pos=pos.astype(np.float32),
+                             adj=adj, wids=wids, sizes=sizes)
+
+    def sample_trees(self, k: int, n: Optional[int] = None) -> List[SyntheticTree]:
+        return [self.sample_tree(n) for _ in range(k)]
