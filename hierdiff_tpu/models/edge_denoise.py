@@ -1,0 +1,308 @@
+"""Edge-denoise model: autoregressive fine-grained tree assembly heads.
+
+Dense-masked, scan-based rebuild of the reference ``Edge_denoise``
+(models/edge_denoise.py). Four computations share an E_GCL trunk:
+
+1. full-graph message passing over the fully connected padded graph with
+   learned, evolving edge features (gcl_full x3, attention);
+2. focal head: MP over the discovered-edge subgraph, then a sigmoid score per
+   discovered node ("which frontier node gets the next edge");
+3. edge head: depth-sequential MP toward the last attached node, then a
+   pair score over (focal, candidate) for "which undiscovered node attaches";
+4. node-type head: depth-sequential MP toward the new node, then a
+   vocab-softmax (support optionally restricted by the array_dict buckets).
+
+All ragged per-sample Python loss loops of the reference
+(edge_denoise.py:124-234) become masked dense reductions; the BFS depth
+programs are computed on device (ops/graph.py) and scanned with per-depth
+masks.
+
+Reference quirk reproduced on purpose: the channel the reference feeds its
+781-token "vocab embedding" is the 0/1 DISCOVERED flag, not the vocab index
+(edge_denoise.py:88 reads feature column in_node_nf+context_nf, which the
+collator fills with the discovered indicator, dataset_denoise.py:197-204).
+``vocab_conditioning=True`` switches to embedding the actual fragment ids —
+the apparent intent — but the default matches the reference's behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hierdiff_tpu.ops.gcl import DenseEGCL, compute_parents, coord2radial_dense
+from hierdiff_tpu.ops.graph import bfs_depths, circle_mask, depth_layer_mask
+from hierdiff_tpu.ops.masked import NEG_INF, binary_cross_entropy, masked_cross_entropy, masked_log_softmax
+
+Array = jax.Array
+
+
+class EdgeDenoise(nn.Module):
+    """Config mirrors conf/model/edge_denoise.yaml."""
+
+    vocab_size: int = 781        # embedding table (779 fragments + tokens)
+    out_node_nf: int = 780       # node-type softmax width
+    in_node_nf: int = 8
+    hidden_nf: int = 256
+    n_layers_full: int = 3
+    n_layers_focal: int = 3
+    focal_weight: float = 5.0
+    edge_weight: float = 1.0
+    node_weight: float = 2.0
+    vocab_conditioning: bool = False
+    gated: bool = True
+    max_depth: Optional[int] = None   # static scan length; None -> N
+
+    def setup(self):
+        h = self.hidden_nf
+        self.feature_embedding = nn.Dense(h)
+        self.vocab_embedding = nn.Embed(self.vocab_size, h)
+        self.edge_embedding = nn.Dense(h)
+        self.node_embedding = nn.Dense(h)
+        self.gcl_full = [
+            DenseEGCL(h, edges_in_d=h, attention=True, tanh=True, coords_range=30.0,
+                      coord_update=True, edge_update=True, gated=self.gated, name=f"gcl_full_{i}")
+            for i in range(self.n_layers_full)
+        ]
+        self.gcl_focal = [
+            DenseEGCL(h, edges_in_d=h, attention=False, tanh=True, coords_range=30.0,
+                      coord_update=True, edge_update=True, gated=self.gated, name=f"gcl_focal_{i}")
+            for i in range(self.n_layers_focal)
+        ]
+        self.gcl_edge = DenseEGCL(h, edges_in_d=1, attention=False, tanh=True, coords_range=30.0,
+                                  coord_update=True, edge_update=False, gated=self.gated, name="gcl_edge")
+        self.gcl_denoise = DenseEGCL(h, edges_in_d=1, attention=False, tanh=True, coords_range=30.0,
+                                     coord_update=True, edge_update=False, gated=self.gated, name="gcl_denoise")
+        self.focal_head = nn.Sequential([nn.Dense(h), nn.silu, nn.Dense(1), nn.sigmoid])
+        self.edge_head = nn.Sequential([nn.Dense(h), nn.silu, nn.Dense(1)])
+        self.node_head = nn.Sequential([nn.Dense(h), nn.silu, nn.Dense(self.out_node_nf)])
+
+    # --- shared trunk ------------------------------------------------------
+
+    def embed_nodes(self, feats: Array, discovered: Array, vocab_idx: Array) -> Array:
+        """h = node_embedding([feature_emb, token_emb]).
+        (reference: edge_denoise.py:87-93)"""
+        token = vocab_idx if self.vocab_conditioning else discovered
+        h_f = self.feature_embedding(feats[..., : self.in_node_nf])
+        h_v = self.vocab_embedding(token.astype(jnp.int32))
+        return self.node_embedding(jnp.concatenate([h_f, h_v], axis=-1))
+
+    def full_mp(self, h: Array, x: Array, search_adj: Array, node_mask: Array,
+                edge_mask: Array) -> Tuple[Array, Array, Array]:
+        """Fully-connected MP with evolving edge features.
+        (reference: edge_denoise.py:98-110)"""
+        radial, _ = coord2radial_dense(x)
+        e = jnp.concatenate([radial, search_adj[..., None]], axis=-1)
+        ef = self.edge_embedding(e)
+        em = edge_mask[..., None]
+        for layer in self.gcl_full:
+            h, x, ef = layer(h, x, em, edge_attr=ef, node_mask=node_mask)
+        return h, x, ef
+
+    def focal_mp(self, h: Array, x: Array, ef_full: Array, search_adj: Array,
+                 node_mask: Array) -> Tuple[Array, Array]:
+        """MP over discovered edges, edge features seeded from the full pass.
+        (reference: edge_denoise.py:114-122)"""
+        dm = search_adj[..., None]
+        ef = ef_full * dm
+        for layer in self.gcl_focal:
+            h, x, ef = layer(h, x, dm, edge_attr=ef, node_mask=node_mask)
+        return h, x
+
+    def depth_mp(self, layer_name: str, h: Array, x: Array, adj: Array,
+                 target_onehot: Array, node_mask: Array, n_steps: int) -> Tuple[Array, Array]:
+        """Depth-sequential MP toward ``target``: circle layer first, then
+        BFS layers deepest-first, each a masked dense pass inside nn.scan
+        (params broadcast over depth steps).
+        (reference: edge_denoise.py:151-156, 196-200)
+        """
+        b, n = adj.shape[:2]
+        depth = bfs_depths(adj, target_onehot)
+        parent = compute_parents(adj, depth)
+        self_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
+        node0 = (jnp.arange(n)[None, :] == 0) & jnp.ones((b, 1), bool)
+
+        def step(mdl, carry, d):
+            h, x = carry
+            circle = d == 0
+            active = jnp.where(circle, node0, depth == d)
+            par = jnp.where(circle, self_idx, parent)
+            h, x = getattr(mdl, layer_name).tree_pass(h, x, par, active, node_mask)
+            return (h, x), ()
+
+        # reference order: circle first, then deepest -> shallowest
+        ds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.arange(n_steps - 1, 0, -1, dtype=jnp.int32)])
+        scan = nn.scan(step, variable_broadcast="params", split_rngs={"params": False},
+                       in_axes=0, out_axes=0)
+        (h, x), _ = scan(self, (h, x), ds)
+        return h, x
+
+    # --- heads -------------------------------------------------------------
+
+    def focal_scores(self, h: Array, val: Array) -> Array:
+        """(B, N) sigmoid focal probability. (reference: edge_denoise.py:124)"""
+        return self.focal_head(jnp.concatenate([h, val[..., None]], axis=-1))[..., 0]
+
+    def edge_logits(self, h: Array, x: Array, ef_full: Array, focal_idx: Array) -> Array:
+        """(B, N) attachment scores for (focal -> candidate).
+        (reference: edge_denoise.py:157-169)"""
+        b, n, hd = h.shape
+        take = lambda t, idx: jnp.take_along_axis(
+            t, idx.reshape(b, *([1] * (t.ndim - 1))).astype(jnp.int32), axis=1)
+        fi = jnp.clip(focal_idx, 0, n - 1)
+        h_focal = jnp.broadcast_to(take(h, fi), (b, n, hd))
+        x_focal = take(x, fi)
+        edge_focal = take(ef_full, fi)[:, 0]          # (B, N, H): ef[focal, :]
+        d2 = jnp.sum((x - x_focal) ** 2, axis=-1, keepdims=True)
+        inp = jnp.concatenate([h_focal, edge_focal, h, d2], axis=-1)
+        return self.edge_head(inp)[..., 0]
+
+    def node_logits(self, h: Array, idx: Array) -> Array:
+        """(B, V) fragment-type logits at node ``idx``.
+        (reference: edge_denoise.py:203-205)"""
+        b, n, hd = h.shape
+        sel = jnp.take_along_axis(h, jnp.clip(idx, 0, n - 1).reshape(b, 1, 1).astype(jnp.int32), axis=1)[:, 0]
+        return self.node_head(sel)
+
+    # --- training forward --------------------------------------------------
+
+    def __call__(self, batch: Dict[str, Array]) -> Dict[str, Array]:
+        feats = batch["feats"]
+        discovered = batch["discovered"]
+        vocab_idx = batch["vocab_idx"]
+        x = batch["pos"]
+        node_mask = batch["node_mask"]
+        edge_mask = batch["edge_mask"]
+        search_adj = batch["search_adj"]          # org: discovered edges only
+        focal_label = batch["focal_label"]        # (B,N) 0/1
+        undiscovered = batch["undiscovered"]      # (B,N) 0/1
+        predict_idx = batch["predict_idx"]        # (B,)
+        last_ind = batch["last_ind"]              # (B,), -1 at root step
+        label = batch["label"]                    # (B,)
+        allowed = batch.get("allowed_mask")       # (B,V) or None
+        b, n = feats.shape[:2]
+
+        h = self.embed_nodes(feats, discovered, vocab_idx) * node_mask
+        val = jnp.sum(search_adj, axis=-1)        # degrees (B,N)
+
+        h, x, ef_full = self.full_mp(h, x, search_adj, node_mask, edge_mask)
+
+        # ---- focal ----
+        has_edges = jnp.sum(search_adj, axis=(1, 2)) > 0         # (B,)
+        hf, xf = self.focal_mp(h, x, ef_full, search_adj, node_mask)
+        scores = self.focal_scores(hf, val)
+        cand = discovered.astype(jnp.float32)
+        bce = binary_cross_entropy(scores, focal_label.astype(jnp.float32)) * cand
+        n_cand = jnp.maximum(jnp.sum(cand, axis=1), 1.0)
+        focal_loss_per = jnp.sum(bce, axis=1) / n_cand            # mean over candidates
+        focal_valid = has_edges.astype(jnp.float32)
+        focal_loss = jnp.sum(focal_loss_per * focal_valid)        # sum over samples (ref)
+        # accuracy: argmax over candidates hits a true focal
+        cand_scores = jnp.where(cand > 0, scores, -jnp.inf)
+        top = jnp.argmax(cand_scores, axis=1)
+        hit = jnp.take_along_axis(focal_label, top[:, None], axis=1)[:, 0]
+        focal_acc = jnp.sum(hit * focal_valid) / jnp.maximum(jnp.sum(focal_valid), 1e-8)
+
+        # ---- edge ----
+        last_onehot = (jnp.arange(n)[None, :] == last_ind[:, None]).astype(jnp.float32)
+        he, xe = self.depth_mp("gcl_edge", hf, xf, search_adj, last_onehot,
+                               node_mask, self.max_depth or n)
+        e_logits = self.edge_logits(he, xe, ef_full, last_ind)
+        edge_valid = (predict_idx != 0).astype(jnp.float32) * (last_ind >= 0).astype(jnp.float32)
+        edge_ce = masked_cross_entropy(e_logits, predict_idx, undiscovered)
+        edge_loss = jnp.sum(edge_ce * edge_valid)
+        e_pred = jnp.argmax(jnp.where(undiscovered > 0, e_logits, -jnp.inf), axis=1)
+        edge_acc = jnp.sum((e_pred == predict_idx) * edge_valid) / jnp.maximum(jnp.sum(edge_valid), 1e-8)
+
+        # ---- node type ----
+        # node pass runs over search_adj + the (last, predict) edge
+        li = jnp.clip(last_ind, 0, n - 1)
+        add = last_onehot[:, :, None] * (jnp.arange(n)[None, None, :] == predict_idx[:, None, None])
+        search_adj_pad = jnp.clip(search_adj + add + jnp.transpose(add, (0, 2, 1)), 0, 1)
+        pred_onehot = (jnp.arange(n)[None, :] == predict_idx[:, None]).astype(jnp.float32)
+        hn, xn = self.depth_mp("gcl_denoise", he, xe, search_adj_pad, pred_onehot,
+                               node_mask, self.max_depth or n)
+        n_logits = self.node_logits(hn, predict_idx)
+        support = allowed if allowed is not None else jnp.ones_like(n_logits)
+        node_ce = masked_cross_entropy(n_logits, label, support)
+        node_loss = jnp.sum(node_ce)
+        n_pred = jnp.argmax(jnp.where(support > 0, n_logits, -jnp.inf), axis=1)
+        node_acc = jnp.mean((n_pred == label).astype(jnp.float32))
+
+        total = (self.focal_weight * focal_loss + self.edge_weight * edge_loss
+                 + self.node_weight * node_loss) / b
+        return {
+            "total_loss": total,
+            "focal_loss": focal_loss / b, "focal_accuracy": focal_acc,
+            "edge_loss": edge_loss / b, "edge_accuracy": edge_acc,
+            "node_loss": node_loss / b, "node_accuracy": node_acc,
+        }
+
+    # --- autoregressive sampling step --------------------------------------
+
+    def ar_step(self, feats: Array, discovered: Array, vocab_idx: Array,
+                pos: Array, adj: Array, node_mask: Array) -> Dict[str, Array]:
+        """One batched AR expansion, fully on device.
+
+        Given K padded tree states, predict for each: the focal node, the
+        undiscovered node to attach, the new adjacency, and the vocab logits
+        for the new node's type. The reference's host-side BFS/program
+        building per step (edge_denoise.py:250-419) is replaced by on-device
+        BFS, so the whole step is one jitted call.
+
+        adj may carry the root marker self-loop at (0,0) (set by the beam
+        driver after the first step, cf. ar_sampling_nosize.py:196-202);
+        discovery is derived from row sums before stripping the diagonal.
+        """
+        b, n = feats.shape[:2]
+        edge_mask_fc = (1.0 - jnp.eye(n))[None] * (node_mask[:, :, 0, None] * node_mask[:, :, None, 0])
+
+        deg = jnp.sum(adj, axis=-1)                           # incl. diagonal marker
+        is_disc = (deg > 0) & (node_mask[:, :, 0] > 0)
+        is_undisc = (deg == 0) & (node_mask[:, :, 0] > 0)
+        eye = jnp.eye(n)[None]
+        adj_clean = adj * (1.0 - eye)                         # strip diagonal
+        val = jnp.sum(adj_clean, axis=-1)
+
+        h = self.embed_nodes(feats, discovered, vocab_idx) * node_mask
+        x = pos
+        h, x, ef_full = self.full_mp(h, x, adj_clean, node_mask, edge_mask_fc)
+
+        any_disc = jnp.any(is_disc, axis=1)
+        has_real_edges = jnp.sum(adj_clean, axis=(1, 2)) > 0
+
+        # focal: argmax sigmoid score over discovered (reference: :300-323)
+        hf, xf = self.focal_mp(h, x, ef_full, adj_clean, node_mask)
+        scores = self.focal_scores(hf, val)
+        focal = jnp.argmax(jnp.where(is_disc, scores, -jnp.inf), axis=1).astype(jnp.int32)
+        focal = jnp.where(any_disc, focal, -1)                # root step: no focal
+
+        # edge: depth MP toward focal over current graph, then attach argmax
+        focal_onehot = ((jnp.arange(n)[None, :] == focal[:, None]) & any_disc[:, None]).astype(jnp.float32)
+        he, xe = self.depth_mp("gcl_edge", hf, xf, adj_clean, focal_onehot,
+                               node_mask, self.max_depth or n)
+        e_logits = self.edge_logits(he, xe, ef_full, jnp.maximum(focal, 0))
+        target = jnp.argmax(jnp.where(is_undisc, e_logits, -jnp.inf), axis=1).astype(jnp.int32)
+        has_undisc = jnp.any(is_undisc, axis=1)
+        do_attach = any_disc & has_undisc
+        # root step predicts the type of node 0 (reference: :377, :403)
+        target = jnp.where(do_attach, target, 0)
+
+        # new adjacency with the attached edge
+        att = focal_onehot[:, :, None] * (jnp.arange(n)[None, None, :] == target[:, None, None])
+        att = att * do_attach[:, None, None]
+        new_adj = jnp.clip(adj_clean + att + jnp.transpose(att, (0, 2, 1)), 0, 1)
+
+        # node type: depth MP toward the new node over the updated graph
+        t_onehot = (jnp.arange(n)[None, :] == target[:, None]).astype(jnp.float32)
+        hn, xn = self.depth_mp("gcl_denoise", he, xe, new_adj, t_onehot,
+                               node_mask, self.max_depth or n)
+        logits = self.node_logits(hn, target)
+        logp = masked_log_softmax(logits, jnp.ones_like(logits))
+
+        return {"focal": focal, "target": target, "new_adj": new_adj,
+                "node_logp": logp, "did_attach": do_attach}

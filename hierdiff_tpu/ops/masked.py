@@ -107,6 +107,34 @@ def cdf_standard_gaussian(x: Array) -> Array:
     return 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
 
 
+NEG_INF = -1e9
+
+
+def masked_log_softmax(logits: Array, support: Array, axis: int = -1) -> Array:
+    """log-softmax restricted to ``support`` (1 = allowed). Outside entries
+    get ~-inf log-probability."""
+    logits = jnp.where(support > 0, logits, NEG_INF)
+    return jax.nn.log_softmax(logits, axis=axis)
+
+
+def masked_cross_entropy(logits: Array, target: Array, support: Array) -> Array:
+    """CE over a restricted support: -log softmax(logits|support)[target].
+
+    logits (B, K), target (B,) int, support (B, K). Equivalent to the
+    reference's per-sample ``CrossEntropyLoss`` over an index-selected
+    candidate list (edge_denoise.py:176-224) without the Python loop.
+    """
+    logp = masked_log_softmax(logits, support)
+    return -jnp.take_along_axis(logp, target[:, None], axis=1)[:, 0]
+
+
+def binary_cross_entropy(p: Array, label: Array, eps: float = 1e-7) -> Array:
+    """Elementwise BCE on probabilities (reference uses nn.BCELoss on a
+    sigmoid head, edge_denoise.py:132)."""
+    p = jnp.clip(p, eps, 1.0 - eps)
+    return -(label * jnp.log(p) + (1.0 - label) * jnp.log(1.0 - p))
+
+
 def subspace_dimensionality(node_mask: Array, n_dims: int) -> Array:
     """(N-1)*n_dims per batch element — dims of the CoM-free x subspace.
     (reference: diffusion_qm9.py:160-163)

@@ -1,0 +1,249 @@
+"""Fine-stage tests: graph ops, edge-denoise training/AR step, refine model."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hierdiff_tpu.data.denoise import make_denoise_batch
+from hierdiff_tpu.data.orders import (bfs_layers_toward, dfs_bidirection,
+                                      get_dfs_order, make_search_adjacencies)
+from hierdiff_tpu.data.refine import make_refine_batch
+from hierdiff_tpu.data.synthetic import SyntheticTreeGenerator
+from hierdiff_tpu.models.edge_denoise import EdgeDenoise
+from hierdiff_tpu.models.refine import NodeRefine
+from hierdiff_tpu.ops.gcl import DenseEGCL
+from hierdiff_tpu.ops.graph import bfs_depths, circle_mask, depth_layer_mask
+
+
+# --- host order builders -------------------------------------------------
+
+
+def chain_adj(n):
+    adj = np.zeros((n, n))
+    for i in range(n - 1):
+        adj[i, i + 1] = adj[i + 1, i] = 1
+    return adj
+
+
+def test_dfs_order_chain():
+    res = get_dfs_order([[1], [0, 2], [1]], 0)
+    assert [o[0] for o in res["order"]] == [0, 1, 2]
+
+
+def test_dfs_bidirection_root_step():
+    adj = chain_adj(4)
+    und, search, last = dfs_bidirection(adj, sampling=0)
+    assert search == 0 and last == -1 and len(und) == 4
+
+
+def test_search_adjacency_masks():
+    adj = chain_adj(4)
+    und, search, last = dfs_bidirection(adj, sampling=2)  # discover 0,1; search=2
+    org, pad = make_search_adjacencies(adj, und, search, last)
+    assert org[0, 1] == 1 and org[1, 0] == 1
+    assert org[1, 2] == 0  # search node zeroed
+    assert pad[last, search] == 1 and pad[search, last] == 1
+
+
+def test_bfs_layers_toward_chain():
+    adj = chain_adj(4)
+    layers = bfs_layers_toward(adj, end=3)
+    # deepest first: [(0,1)], [(1,2)], [(2,3)] — far -> near
+    assert layers == [[(0, 1)], [(1, 2)], [(2, 3)]]
+
+
+# --- device graph ops ----------------------------------------------------
+
+
+def test_bfs_depths_matches_host():
+    adj = np.zeros((1, 5, 5), np.float32)
+    for i, j in [(0, 1), (1, 2), (1, 3), (3, 4)]:
+        adj[0, i, j] = adj[0, j, i] = 1
+    start = np.zeros((1, 5), np.float32)
+    start[0, 2] = 1
+    depth = np.asarray(bfs_depths(jnp.asarray(adj), jnp.asarray(start)))
+    assert list(depth[0]) == [2, 1, 0, 2, 3]
+
+
+def test_bfs_depths_empty_start():
+    adj = jnp.asarray(chain_adj(4)[None].astype(np.float32))
+    depth = bfs_depths(adj, jnp.zeros((1, 4)))
+    assert np.all(np.asarray(depth) == -1)
+
+
+def test_depth_layer_mask_directed():
+    adj = jnp.asarray(chain_adj(3)[None].astype(np.float32))
+    start = jnp.asarray(np.array([[0, 0, 1]], np.float32))
+    depth = bfs_depths(adj, start)
+    m1 = np.asarray(depth_layer_mask(adj, depth, jnp.int32(1)))
+    assert m1[0, 1, 2] == 1 and m1[0, 2, 1] == 0  # far(1)->near(2) only
+    m2 = np.asarray(depth_layer_mask(adj, depth, jnp.int32(2)))
+    assert m2[0, 0, 1] == 1 and m2.sum() == 1
+
+
+def test_gated_gcl_noop_on_empty_layer():
+    model = DenseEGCL(hidden_nf=16, edges_in_d=1, gated=True)
+    h = jnp.ones((2, 4, 16))
+    x = jnp.ones((2, 4, 3))
+    mask = jnp.zeros((2, 4, 4, 1))
+    radial = jnp.zeros((2, 4, 4, 1))
+    params = model.init(jax.random.PRNGKey(0), h, x, mask, edge_attr=radial)
+    h2, x2 = model.apply(params, h, x, mask, edge_attr=radial)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h))
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x))
+
+
+# --- edge denoise --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gen():
+    return SyntheticTreeGenerator(seed=0)
+
+
+@pytest.fixture(scope="module")
+def denoise_setup(gen):
+    rng = random.Random(0)
+    trees = gen.sample_trees(4, n=7)
+    batch = {k: jnp.asarray(v) for k, v in make_denoise_batch(trees, rng, max_n=8).items()}
+    model = EdgeDenoise(hidden_nf=32, n_layers_full=2, n_layers_focal=2)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    return model, params, batch, trees
+
+
+def test_denoise_forward_finite(denoise_setup):
+    model, params, batch, _ = denoise_setup
+    out = model.apply(params, batch)
+    for k in ("total_loss", "focal_loss", "edge_loss", "node_loss"):
+        assert np.isfinite(float(out[k])), k
+    for k in ("focal_accuracy", "edge_accuracy", "node_accuracy"):
+        assert 0.0 <= float(out[k]) <= 1.0, k
+
+
+def test_denoise_grads_flow(denoise_setup):
+    model, params, batch, _ = denoise_setup
+
+    def loss(p):
+        return model.apply(p, batch)["total_loss"]
+
+    g = jax.grad(loss)(params)
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
+def test_denoise_jit_compiles(denoise_setup):
+    model, params, batch, _ = denoise_setup
+    f = jax.jit(lambda p, b: model.apply(p, b)["total_loss"])
+    v1 = float(f(params, batch))
+    v2 = float(f(params, batch))
+    assert np.isfinite(v1) and v1 == v2
+
+
+def test_ar_step_root_and_attach(gen):
+    """Drive two AR steps: root-type prediction, then an attachment."""
+    model = EdgeDenoise(hidden_nf=32, n_layers_full=2, n_layers_focal=2)
+    n, b = 6, 2
+    trees = gen.sample_trees(b, n=n)
+    feats = jnp.asarray(np.stack([t.feats for t in trees]))
+    pos = jnp.asarray(np.stack([t.pos for t in trees]))
+    node_mask = jnp.ones((b, n, 1))
+    vocab_idx = jnp.full((b, n), 779, jnp.int32)
+    discovered = jnp.zeros((b, n), jnp.int32)
+    adj = jnp.zeros((b, n, n))
+
+    dummy = {k: jnp.asarray(v) for k, v in make_denoise_batch(trees, random.Random(0), max_n=n).items()}
+    params = model.init(jax.random.PRNGKey(0), dummy)
+
+    step = jax.jit(lambda *a: model.apply(params, *a, method=EdgeDenoise.ar_step))
+
+    # step 1: nothing discovered -> root step
+    out = step(feats, discovered, vocab_idx, pos, adj, node_mask)
+    assert np.all(np.asarray(out["focal"]) == -1)
+    assert np.all(np.asarray(out["target"]) == 0)
+    assert not np.any(np.asarray(out["did_attach"]))
+    assert np.allclose(np.asarray(out["new_adj"]), 0)
+    logp = np.asarray(out["node_logp"])
+    np.testing.assert_allclose(np.exp(logp).sum(axis=1), 1.0, rtol=1e-4)
+
+    # host marks the root discovered via the (0,0) marker
+    adj = adj.at[:, 0, 0].set(1.0)
+    discovered = discovered.at[:, 0].set(1)
+    out2 = step(feats, discovered, vocab_idx, pos, adj, node_mask)
+    assert np.all(np.asarray(out2["focal"]) == 0)       # only node 0 discovered
+    assert np.all(np.asarray(out2["did_attach"]))
+    tgt = np.asarray(out2["target"])
+    assert np.all(tgt != 0)
+    na = np.asarray(out2["new_adj"])
+    for i in range(b):
+        assert na[i, 0, tgt[i]] == 1 and na[i, tgt[i], 0] == 1
+        assert na[i].sum() == 2  # diagonal marker stripped, one new sym edge
+
+
+# --- refine ---------------------------------------------------------------
+
+
+def test_refine_forward_and_grads(gen):
+    rng = random.Random(0)
+    trees = gen.sample_trees(3, n=6)
+    batch = {k: jnp.asarray(v) for k, v in make_refine_batch(trees, rng, max_n=8).items()}
+    model = NodeRefine(hidden_size=32, n_layers=1)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(params, batch)
+    assert np.isfinite(float(out["loss"]))
+    assert 0.0 <= float(out["accuracy"]) <= 1.0
+
+    g = jax.grad(lambda p: model.apply(p, batch)["loss"])(params)
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
+def test_refine_check_logp(gen):
+    trees = gen.sample_trees(2, n=5)
+    rng = random.Random(1)
+    batch = {k: jnp.asarray(v) for k, v in make_refine_batch(trees, rng, max_n=5).items()}
+    model = NodeRefine(hidden_size=32, n_layers=1)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    logp = model.apply(params, batch["feats"], batch["vocab"], batch["size"],
+                       batch["pos"], batch["adj"], batch["node_mask"],
+                       batch["predict_idx"], batch["val"], method=NodeRefine.check_logp)
+    assert logp.shape == (2, 780)
+    np.testing.assert_allclose(np.exp(np.asarray(logp)).sum(axis=1), 1.0, rtol=1e-4)
+
+
+# --- AR beam search -------------------------------------------------------
+
+
+def test_ar_sampler_end_to_end(gen):
+    """Full beam-search assembly of synthetic blur sets (untrained model)."""
+    from hierdiff_tpu.sampling.ar import ARSampler
+    from hierdiff_tpu.data.denoise import make_denoise_batch
+
+    model = EdgeDenoise(hidden_nf=32, n_layers_full=2, n_layers_focal=2)
+    trees = gen.sample_trees(2, n=5)
+    dummy = {k: jnp.asarray(v) for k, v in make_denoise_batch(trees, random.Random(0), max_n=8).items()}
+    params = model.init(jax.random.PRNGKey(0), dummy)
+
+    sampler = ARSampler(model, params, beam_size=3)
+    blur = [{"x": t.pos, "h": t.feats} for t in gen.sample_trees(3, n=5)]
+    results = sampler.sample(blur)
+    assert len(results) == 3
+    for r in results:
+        assert r is not None, "beam search failed to complete a tree"
+        assert np.all(r.wids >= 0) and np.all(r.wids < 779)
+        # assembled adjacency is a connected tree over 5 nodes: 4 sym edges
+        adj = r.adj.copy()
+        np.fill_diagonal(adj, 0)
+        assert adj.sum() == 2 * (r.n - 1), adj.sum()
+        # connectivity via BFS
+        seen = {0}
+        frontier = [0]
+        while frontier:
+            cur = frontier.pop()
+            for j in range(r.n):
+                if adj[cur, j] and j not in seen:
+                    seen.add(j)
+                    frontier.append(j)
+        assert len(seen) == r.n
