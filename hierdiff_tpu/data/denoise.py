@@ -18,7 +18,7 @@ from hierdiff_tpu.data.assets import load_array_dict
 from hierdiff_tpu.data.collate import bucket_for
 from hierdiff_tpu.data.orders import dfs_bidirection, make_search_adjacencies
 
-UNDISCOVERED_TOKEN = 779  # vocab.size() sentinel (MPNN_pattern.py:68-73)
+UNDISCOVERED_TOKEN = 780  # vocab.size() sentinel (MPNN_pattern.py:68-73); 780 fragments -> token 780
 
 
 def find_array_bucket(feat: np.ndarray, arrays: List[np.ndarray]) -> int:
@@ -27,7 +27,7 @@ def find_array_bucket(feat: np.ndarray, arrays: List[np.ndarray]) -> int:
     return int(np.argmin(diffs))
 
 
-def make_denoise_example(tree, rng: random.Random, vocab_size: int = 779,
+def make_denoise_example(tree, rng: random.Random, vocab_size: int = 780,
                          use_array_dict: bool = False) -> Dict[str, np.ndarray]:
     """One AR training step for one tree. ``tree`` needs .feats (n,8),
     .pos (n,3), .adj (n,n), .wids (n,)."""

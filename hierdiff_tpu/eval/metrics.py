@@ -1,0 +1,237 @@
+"""MOSES-style evaluation panel for generated molecules.
+
+Rebuild of eval/evaluation_method.py: MCF/PAINS filter pass rate, property
+distributions (MW/logP/rotatable bonds), scaffold Shannon entropy, Morgan-FP
+max similarity vs a reference set, conformer RMSD vs an MMFF ensemble,
+SAS/QED, Ro5, MMD(rbf), fragment-frequency vs vocabulary. Pure-numpy pieces
+(MMD) work without RDKit; the chemistry metrics are RDKit-gated.
+
+The MCF/PAINS SMARTS tables are MOSES artifacts not shipped with the
+reference repo; provide them via ``set_filter_tables`` (paths to mcf.csv /
+wehi_pains.csv) — otherwise the filter check runs without SMARTS screens.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hierdiff_tpu.chem import HAS_RDKIT, require_rdkit
+
+_FILTERS: Optional[list] = None
+
+
+def set_filter_tables(mcf_csv: Optional[str] = None, pains_csv: Optional[str] = None):
+    """Load MCF/PAINS SMARTS screens (reference: evaluation_method.py:25-30)."""
+    global _FILTERS
+    require_rdkit("structural alert filters")
+    import pandas as pd
+    from rdkit import Chem
+
+    smarts: List[str] = []
+    if mcf_csv:
+        smarts += list(pd.read_csv(mcf_csv)["smarts"].values)
+    if pains_csv:
+        smarts += list(pd.read_csv(pains_csv, names=["smarts", "names"])["smarts"].values)
+    _FILTERS = [Chem.MolFromSmarts(s) for s in smarts]
+
+
+def clean_mols(mols):
+    """Sanitize + dedup by canonical SMILES. (evaluation_method.py:33-38)"""
+    require_rdkit("molecule cleaning")
+    from rdkit import Chem
+
+    cans = [Chem.MolFromSmiles(Chem.MolToSmiles(m), sanitize=True) for m in mols]
+    uniq = {Chem.MolToSmiles(m) for m in cans if m}
+    return [Chem.MolFromSmiles(s) for s in uniq]
+
+
+def mol_passes_filters(mol, allowed=None, isomeric_smiles: bool = False) -> bool:
+    """MOSES filter: rings<8, neutral, allowed atoms, no MCF/PAINS hits.
+    (evaluation_method.py:45-74)"""
+    require_rdkit("filter check")
+    from rdkit import Chem
+
+    allowed = allowed or {"C", "N", "S", "O", "F", "Cl", "Br", "H"}
+    if mol is None:
+        return False
+    ring_info = mol.GetRingInfo()
+    if ring_info.NumRings() != 0 and any(len(x) >= 8 for x in ring_info.AtomRings()):
+        return False
+    h_mol = Chem.AddHs(mol)
+    if any(a.GetFormalCharge() != 0 for a in mol.GetAtoms()):
+        return False
+    if any(a.GetSymbol() not in allowed for a in mol.GetAtoms()):
+        return False
+    if _FILTERS and any(h_mol.HasSubstructMatch(s) for s in _FILTERS):
+        return False
+    smiles = Chem.MolToSmiles(mol, isomericSmiles=isomeric_smiles)
+    if not smiles or Chem.MolFromSmiles(smiles) is None:
+        return False
+    return True
+
+
+def filter_rate(mols) -> float:
+    mols = clean_mols(mols)
+    return float(np.mean([mol_passes_filters(m) for m in mols]))
+
+
+def cal_mw(mols) -> np.ndarray:
+    require_rdkit("molecular weight")
+    from rdkit.Chem import Descriptors
+    return np.array([Descriptors.ExactMolWt(m) for m in clean_mols(mols) if m])
+
+
+def cal_logp(mols) -> np.ndarray:
+    require_rdkit("logP")
+    from rdkit.Chem import Descriptors
+    return np.array([Descriptors.MolLogP(m) for m in clean_mols(mols) if m])
+
+
+def cal_num_rotatable_bonds(mols) -> np.ndarray:
+    require_rdkit("rotatable bonds")
+    from rdkit.Chem import Descriptors
+    return np.array([Descriptors.NumRotatableBonds(m) for m in clean_mols(mols) if m])
+
+
+def scaffold_entropy(mols) -> float:
+    """Shannon entropy of Murcko scaffolds. (evaluation_method.py:91-97)"""
+    require_rdkit("scaffold entropy")
+    from rdkit import Chem
+    from rdkit.Chem.Scaffolds import MurckoScaffold
+
+    mols = clean_mols(mols)
+    scaffolds = [Chem.MolToSmiles(MurckoScaffold.GetScaffoldForMol(m)) for m in mols]
+    p = np.array(list(Counter(scaffolds).values())) / len(mols)
+    return float(-np.sum(np.log(p) * p))
+
+
+def max_sim_fp(mols, ref_mols):
+    """Max Morgan-fingerprint Tanimoto vs a reference set.
+    (evaluation_method.py:100-114)"""
+    require_rdkit("fingerprint similarity")
+    from rdkit.Chem import AllChem
+
+    mols = clean_mols(mols)
+    ref_mols = clean_mols(ref_mols)
+    fp = lambda m: np.array(AllChem.GetMorganFingerprintAsBitVect(m, radius=2, nBits=1024))
+    a = np.stack([fp(m) for m in mols])
+    b = np.stack([fp(m) for m in ref_mols])
+    inter = a @ b.T
+    union = (a.sum(1, keepdims=True) + b.sum(1)[None, :]) - inter
+    sim = inter / np.maximum(union, 1)
+    return sim.max(axis=0), sim.argmax(axis=0)
+
+
+def conformer_rmsd(mol, num: int = 32, workers: int = 4) -> Optional[float]:
+    """Mean RMS vs an MMFF-optimized conformer ensemble.
+    (evaluation_method.py:115-125)"""
+    require_rdkit("conformer RMSD")
+    from rdkit import Chem
+    from rdkit.Chem import AllChem
+
+    try:
+        mol_h = Chem.AddHs(mol)
+        origin = Chem.AddHs(mol)
+        AllChem.EmbedMultipleConfs(mol_h, numConfs=num, numThreads=workers)
+        AllChem.MMFFOptimizeMoleculeConfs(mol_h, numThreads=workers)
+        origin_id = mol_h.AddConformer(origin.GetConformer(0))
+        vals = [AllChem.GetConformerRMS(mol_h, origin_id, cid, prealigned=False)
+                for cid in range(len(mol_h.GetConformers()) - 1) if cid != origin_id]
+        return float(np.mean(vals))
+    except Exception:
+        return None
+
+
+def cal_sas(mols) -> np.ndarray:
+    """Synthetic accessibility (RDKit contrib sascorer).
+    (evaluation_method.py:136-137)"""
+    require_rdkit("SA score")
+    import os
+    import sys
+
+    from rdkit.Chem import RDConfig
+    sys.path.append(os.path.join(RDConfig.RDContribDir, "SA_Score"))
+    import sascorer
+    return np.array([sascorer.calculateScore(m) for m in mols])
+
+
+def cal_qed(mols) -> np.ndarray:
+    require_rdkit("QED")
+    from rdkit.Chem import QED
+    return np.array([QED.qed(m) for m in mols])
+
+
+def cal_rings(mols):
+    """(ring sizes mean, ring counts) per molecule. (evaluation_method.py:146-153)"""
+    require_rdkit("ring stats")
+    sizes, counts = [], []
+    for m in mols:
+        rings = [len(r) for r in m.GetRingInfo().AtomRings()]
+        counts.append(len(rings))
+        sizes.append(float(np.mean(rings)) if rings else 0.0)
+    return np.array(sizes), np.array(counts)
+
+
+def mmd_rbf(x: np.ndarray, y: np.ndarray, gamma: float = 1.0) -> float:
+    """MMD with an RBF kernel — pure numpy. (evaluation_method.py:155-172)"""
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    if x.ndim == 1:
+        x = x[:, None]
+        y = y[:, None]
+
+    def k(a, b):
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return np.exp(-gamma * d2)
+
+    return float(k(x, x).mean() + k(y, y).mean() - 2 * k(x, y).mean())
+
+
+def hetero_atom_ratio(mols) -> np.ndarray:
+    require_rdkit("heteroatom ratio")
+    from rdkit.Chem import Descriptors
+    return np.array([Descriptors.NumHeteroatoms(m) / m.GetNumAtoms() for m in mols])
+
+
+def node_freq(mols, vocab) -> Tuple[np.ndarray, np.ndarray]:
+    """Fragment-frequency histogram over the vocabulary.
+    (evaluation_method.py:181-201)"""
+    require_rdkit("fragment frequency")
+    from hierdiff_tpu.chem.mol_tree import MolTree
+
+    freq = np.zeros(vocab.size())
+    fps = []
+    unfound = 0
+    for mol in mols:
+        try:
+            tree = MolTree(mol, vocab=vocab)
+        except Exception:
+            unfound += 1
+            continue
+        for node in tree.nodes:
+            freq[node.wid] += 1
+            fps.append(np.asarray(node.fp))
+    fp_mean = np.mean(np.stack(fps), axis=0) if fps else np.zeros(0)
+    return freq, fp_mean
+
+
+def ro5(mols) -> np.ndarray:
+    """Number of Lipinski rule-of-five conditions fulfilled (0-5).
+    (evaluation_method.py:204-219)"""
+    require_rdkit("Ro5")
+    from rdkit.Chem import Descriptors
+
+    out = []
+    for m in mols:
+        conditions = [
+            Descriptors.ExactMolWt(m) <= 500,
+            Descriptors.NumHAcceptors(m) <= 10,
+            Descriptors.NumHDonors(m) <= 5,
+            Descriptors.MolLogP(m) <= 5,
+            Descriptors.NumRotatableBonds(m) <= 10,
+        ]
+        out.append(sum(conditions))
+    return np.array(out)

@@ -27,7 +27,7 @@ from hierdiff_tpu.models.edge_denoise import EdgeDenoise
 
 Array = jax.Array
 
-UNDISCOVERED_TOKEN = 779
+UNDISCOVERED_TOKEN = 780
 
 
 @dataclasses.dataclass
@@ -115,7 +115,7 @@ class ARSampler:
             focal = int(out["focal"][i])
             target = int(out["target"][i])
             attached = bool(out["did_attach"][i])
-            logp = out["node_logp"][i][: self.model.out_node_nf - 1]  # true fragments
+            logp = out["node_logp"][i]  # (V,) log-probs over all 780 fragments
             top = np.argsort(-logp)[: self.beam_size]
             for wid in top:
                 c = s.clone()

@@ -1,0 +1,88 @@
+"""Chemistry-layer tests: geometry (pure numpy), vocab, gating, eval MMD."""
+
+import numpy as np
+import pytest
+
+from hierdiff_tpu.chem import HAS_RDKIT, RDKitUnavailable
+from hierdiff_tpu.chem.geometry import (apply_rigid, flexible_transform_3d,
+                                        kabsch_rmsd, rigid_transform_3d)
+from hierdiff_tpu.chem.mol_tree import Vocab
+from hierdiff_tpu.eval.metrics import mmd_rbf
+
+
+def random_rotation(seed):
+    a = np.random.RandomState(seed).randn(3, 3)
+    q, r = np.linalg.qr(a)
+    q = q @ np.diag(np.sign(np.diag(r)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    return q
+
+
+def test_kabsch_rmsd_zero_for_rigid_motion():
+    x = np.random.RandomState(0).randn(10, 3)
+    R = random_rotation(1)
+    y = x @ R.T + np.array([1.0, -2.0, 0.5])
+    assert kabsch_rmsd(x, y, translate=True) < 1e-8
+
+
+def test_kabsch_rmsd_positive_for_noise():
+    x = np.random.RandomState(0).randn(10, 3)
+    y = x + np.random.RandomState(1).randn(10, 3) * 0.5
+    assert kabsch_rmsd(x, y) > 0.1
+
+
+def test_rigid_transform_recovers_motion():
+    x = np.random.RandomState(2).randn(8, 3)
+    R_true = random_rotation(3)
+    t_true = np.array([0.3, 1.2, -0.7])
+    y = x @ R_true.T + t_true
+    R, t = rigid_transform_3d(x, y)
+    np.testing.assert_allclose(apply_rigid(x, R, t), y, atol=1e-8)
+
+
+def test_flexible_transform():
+    x = np.random.RandomState(4).randn(6, 3)
+    R_true = random_rotation(5)
+    y = x @ R_true
+    rot, (ca, cb) = flexible_transform_3d(x, y)
+    np.testing.assert_allclose((x - ca) @ rot + cb, y, atol=1e-8)
+
+
+def test_vocab_without_rdkit():
+    v = Vocab()
+    assert v.size() == 780
+    smi = v.get_smiles(0)
+    assert v.get_index(smi) == 0
+    assert v.get_fp(smi).shape == (5,)
+    # heavy-atom sizes from fingerprint column 3
+    assert v.mol_sizes[0] == int(round(v.fps[0][3]))
+    idx6 = v.get_size(6)
+    assert all(v.mol_sizes[i] == 6 for i in idx6)
+
+
+@pytest.mark.skipif(HAS_RDKIT, reason="only relevant without rdkit")
+def test_rdkit_gating_raises_cleanly():
+    from hierdiff_tpu.chem.chemutils import get_mol
+    with pytest.raises(RDKitUnavailable):
+        get_mol("CCO")
+
+
+def test_mmd_rbf():
+    x = np.random.RandomState(0).randn(200)
+    y = np.random.RandomState(1).randn(200)
+    z = np.random.RandomState(2).randn(200) + 3.0
+    assert mmd_rbf(x, y) < 0.05
+    assert mmd_rbf(x, z) > 0.5
+
+
+def test_bfs_order_from_edges():
+    from hierdiff_tpu.chem.mff_rmsd import bfs_order_from_edges
+    adj = np.zeros((5, 5))
+    for a, b in [(0, 2), (2, 1), (2, 3), (3, 4)]:
+        adj[a, b] = adj[b, a] = 1
+    order = bfs_order_from_edges(np.nonzero(adj), 5)
+    assert order[0] == 0 and set(order) == set(range(5))
+    # parent appears before child
+    assert order.index(2) < order.index(1)
+    assert order.index(3) < order.index(4)

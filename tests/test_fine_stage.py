@@ -150,7 +150,7 @@ def test_ar_step_root_and_attach(gen):
     feats = jnp.asarray(np.stack([t.feats for t in trees]))
     pos = jnp.asarray(np.stack([t.pos for t in trees]))
     node_mask = jnp.ones((b, n, 1))
-    vocab_idx = jnp.full((b, n), 779, jnp.int32)
+    vocab_idx = jnp.full((b, n), 780, jnp.int32)
     discovered = jnp.zeros((b, n), jnp.int32)
     adj = jnp.zeros((b, n, n))
 
@@ -232,7 +232,7 @@ def test_ar_sampler_end_to_end(gen):
     assert len(results) == 3
     for r in results:
         assert r is not None, "beam search failed to complete a tree"
-        assert np.all(r.wids >= 0) and np.all(r.wids < 779)
+        assert np.all(r.wids >= 0) and np.all(r.wids < 780)
         # assembled adjacency is a connected tree over 5 nodes: 4 sym edges
         adj = r.adj.copy()
         np.fill_diagonal(adj, 0)
