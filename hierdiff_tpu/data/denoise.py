@@ -113,6 +113,17 @@ def collate_denoise(examples: List[Dict], max_n: Optional[int] = None,
 
 
 def make_denoise_batch(trees: Iterable, rng: random.Random, max_n: Optional[int] = None,
-                       use_array_dict: bool = False) -> Dict[str, np.ndarray]:
+                       use_array_dict: bool = False,
+                       allow_native: bool = True) -> Dict[str, np.ndarray]:
+    trees = list(trees)
+    if allow_native and not use_array_dict:
+        # native fast path: DFS sampling + search adjacency + dense packing
+        # in C++ (hierdiff_tpu/runtime/treekit.cpp), ~5x the Python collator
+        from hierdiff_tpu import runtime
+        if runtime.treekit_available():
+            n = max_n if max_n is not None else bucket_for(max(t.feats.shape[0] for t in trees))
+            return runtime.pack_denoise_batch_native(
+                trees, max_n=n, seed=rng.getrandbits(63),
+                undiscovered_token=UNDISCOVERED_TOKEN)
     exs = [make_denoise_example(t, rng, use_array_dict=use_array_dict) for t in trees]
     return collate_denoise(exs, max_n=max_n)

@@ -77,6 +77,7 @@ class CoarseDiffusion(nn.Module):
     condition_time: bool = True
     context_node_nf: int = 0
     remat: bool = False
+    use_pallas: bool = False
 
     def setup(self):
         if self.noise_schedule == "learned":
@@ -103,6 +104,7 @@ class CoarseDiffusion(nn.Module):
             aggregation_method=self.aggregation_method,
             condition_time=self.condition_time,
             remat=self.remat,
+            use_pallas=self.use_pallas,
         )
 
     # --- schedule access ---------------------------------------------------

@@ -43,6 +43,7 @@ class EGNNDynamics(nn.Module):
     aggregation_method: str = "sum"
     condition_time: bool = True
     remat: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -91,6 +92,7 @@ class EGNNDynamics(nn.Module):
             normalization_factor=self.normalization_factor,
             aggregation_method=self.aggregation_method,
             remat=self.remat,
+            use_pallas=self.use_pallas,
             name="egnn",
         )(h, x, node_mask, edge_mask)
 

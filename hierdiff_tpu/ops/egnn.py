@@ -82,22 +82,57 @@ class DenseGCL(nn.Module):
     agg_i = sum_j m_ij * edge_mask / normalization_factor    # masked row-sum
     h_i  += Dense(silu(Dense(cat[h_i, agg_i])))              # node MLP
     (reference: egnn_new.py:8-70)
+
+    Parameters are declared raw (not via nn.Dense) so the fused Pallas
+    inference kernel (ops/egnn_pallas.py) can consume the identical arrays.
     """
 
     hidden_nf: int
     normalization_factor: float = 100.0
     aggregation_method: str = "sum"
     attention: bool = False
+    use_pallas: bool = False   # fused inference kernel (ops/egnn_pallas.py)
+
+    def _params(self, h_dim: int, e_dim: int):
+        hnf = self.hidden_nf
+        init = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        p = {
+            "edge_in": {
+                "w_src": self.param("edge_in_w_src", init, (h_dim, hnf)),
+                "w_dst": self.param("edge_in_w_dst", init, (h_dim, hnf)),
+                "w_e": self.param("edge_in_w_e", init, (e_dim, hnf)),
+                "bias": self.param("edge_in_bias", zeros, (hnf,)),
+            },
+            "edge_out": {"kernel": self.param("edge_out_kernel", init, (hnf, hnf)),
+                          "bias": self.param("edge_out_bias", zeros, (hnf,))},
+            "node_in": {"kernel": self.param("node_in_kernel", init, (2 * hnf, hnf)),
+                         "bias": self.param("node_in_bias", zeros, (hnf,))},
+            "node_out": {"kernel": self.param("node_out_kernel", init, (hnf, hnf)),
+                          "bias": self.param("node_out_bias", zeros, (hnf,))},
+        }
+        if self.attention:
+            p["att"] = {"kernel": self.param("att_kernel", init, (hnf, 1)),
+                        "bias": self.param("att_bias", zeros, (1,))}
+        return p
 
     @nn.compact
     def __call__(self, h: Array, edge_attr: Array, node_mask: Array, edge_mask: Array) -> Array:
-        mij = PairDense(self.hidden_nf, name="edge_in")(h, edge_attr)
+        p = self._params(h.shape[-1], edge_attr.shape[-1])
+        if (self.use_pallas and self.aggregation_method == "sum"
+                and not self.is_initializing()):
+            from hierdiff_tpu.ops.egnn_pallas import fused_gcl
+            return fused_gcl(h, edge_attr, edge_mask, node_mask, p,
+                             self.normalization_factor, self.attention)
+
+        ei = p["edge_in"]
+        mij = ((h @ ei["w_src"])[:, :, None, :] + (h @ ei["w_dst"])[:, None, :, :]
+               + edge_attr @ ei["w_e"] + ei["bias"])
         mij = nn.silu(mij)
-        mij = nn.Dense(self.hidden_nf, name="edge_out")(mij)
-        mij = nn.silu(mij)
+        mij = nn.silu(mij @ p["edge_out"]["kernel"] + p["edge_out"]["bias"])
 
         if self.attention:
-            att = nn.sigmoid(nn.Dense(1, name="att")(mij))
+            att = nn.sigmoid(mij @ p["att"]["kernel"] + p["att"]["bias"])
             mij = mij * att
 
         mij = mij * edge_mask
@@ -109,9 +144,9 @@ class DenseGCL(nn.Module):
         else:
             raise ValueError(self.aggregation_method)
 
-        out = nn.Dense(self.hidden_nf, name="node_in")(jnp.concatenate([h, agg], axis=-1))
+        out = jnp.concatenate([h, agg], axis=-1) @ p["node_in"]["kernel"] + p["node_in"]["bias"]
         out = nn.silu(out)
-        out = nn.Dense(self.hidden_nf, name="node_out")(out)
+        out = out @ p["node_out"]["kernel"] + p["node_out"]["bias"]
         h = h + out
         return h * node_mask
 
@@ -128,15 +163,41 @@ class DenseEquivariantUpdate(nn.Module):
     aggregation_method: str = "sum"
     tanh: bool = False
     coords_range: float = 10.0
+    use_pallas: bool = False
+
+    def _params(self, h_dim: int, e_dim: int):
+        hnf = self.hidden_nf
+        init = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        return {
+            "coord_in": {
+                "w_src": self.param("coord_in_w_src", init, (h_dim, hnf)),
+                "w_dst": self.param("coord_in_w_dst", init, (h_dim, hnf)),
+                "w_e": self.param("coord_in_w_e", init, (e_dim, hnf)),
+                "bias": self.param("coord_in_bias", zeros, (hnf,)),
+            },
+            "coord_mid": {"kernel": self.param("coord_mid_kernel", init, (hnf, hnf)),
+                           "bias": self.param("coord_mid_bias", zeros, (hnf,))},
+            "coord_head": {"kernel": self.param("coord_head_kernel",
+                                                 xavier_scaled_init(0.001), (hnf, 1))},
+        }
 
     @nn.compact
     def __call__(self, h: Array, x: Array, coord_diff: Array, edge_attr: Array,
                  node_mask: Array, edge_mask: Array) -> Array:
-        inp = PairDense(self.hidden_nf, name="coord_in")(h, edge_attr)
+        p = self._params(h.shape[-1], edge_attr.shape[-1])
+        if (self.use_pallas and self.aggregation_method == "sum"
+                and not self.is_initializing()):
+            from hierdiff_tpu.ops.egnn_pallas import fused_coord_update
+            return fused_coord_update(h, edge_attr, coord_diff, x, edge_mask,
+                                      node_mask, p, self.normalization_factor,
+                                      self.tanh, self.coords_range)
+        ci = p["coord_in"]
+        inp = ((h @ ci["w_src"])[:, :, None, :] + (h @ ci["w_dst"])[:, None, :, :]
+               + edge_attr @ ci["w_e"] + ci["bias"])
         inp = nn.silu(inp)
-        inp = nn.Dense(self.hidden_nf, name="coord_mid")(inp)
-        inp = nn.silu(inp)
-        scalar = nn.Dense(1, use_bias=False, kernel_init=xavier_scaled_init(0.001), name="coord_head")(inp)
+        inp = nn.silu(inp @ p["coord_mid"]["kernel"] + p["coord_mid"]["bias"])
+        scalar = inp @ p["coord_head"]["kernel"]
         if self.tanh:
             scalar = jnp.tanh(scalar) * self.coords_range
         trans = coord_diff * scalar * edge_mask
@@ -164,6 +225,7 @@ class DenseEquivariantBlock(nn.Module):
     norm_constant: float = 1.0
     normalization_factor: float = 100.0
     aggregation_method: str = "sum"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h: Array, x: Array, distances0: Array, node_mask: Array, edge_mask: Array):
@@ -175,6 +237,7 @@ class DenseEquivariantBlock(nn.Module):
                 normalization_factor=self.normalization_factor,
                 aggregation_method=self.aggregation_method,
                 attention=self.attention,
+                use_pallas=self.use_pallas,
                 name=f"gcl_{i}",
             )(h, edge_attr, node_mask, edge_mask)
         x = DenseEquivariantUpdate(
@@ -183,6 +246,7 @@ class DenseEquivariantBlock(nn.Module):
             aggregation_method=self.aggregation_method,
             tanh=self.tanh,
             coords_range=self.coords_range,
+            use_pallas=self.use_pallas,
             name="gcl_equiv",
         )(h, x, coord_diff, edge_attr, node_mask, edge_mask)
         return h * node_mask, x
@@ -207,6 +271,7 @@ class DenseEGNN(nn.Module):
     normalization_factor: float = 100.0
     aggregation_method: str = "sum"
     remat: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h: Array, x: Array, node_mask: Array, edge_mask: Array):
@@ -227,6 +292,7 @@ class DenseEGNN(nn.Module):
                 norm_constant=self.norm_constant,
                 normalization_factor=self.normalization_factor,
                 aggregation_method=self.aggregation_method,
+                use_pallas=self.use_pallas,
                 name=f"e_block_{i}",
             )(h, x, distances0, node_mask, edge_mask)
         h = nn.Dense(out_nf, name="embedding_out")(h)

@@ -1,0 +1,187 @@
+"""Fused Pallas TPU kernels for the dense EGNN hot loop.
+
+The XLA implementation of one GCL (ops/egnn.py) materializes the (B, N^2, H)
+message tensor between the edge-MLP matmuls, the attention gate and the
+neighbor reduction. These kernels keep the whole edge pipeline resident in
+VMEM per (batch, source-row) tile:
+
+  fused_gcl:   pre-act (decomposed pair linear) -> silu -> matmul -> silu
+               -> sigmoid gate -> edge mask -> neighbor row-sum -> node MLP
+               -> residual, one pallas_call.
+  fused_coord: the EquivariantUpdate pipeline -> tanh-bounded scalar ->
+               masked weighted diff row-sum -> coordinate delta.
+
+The neighbor reduction is over the j axis only, so the i (source-row) axis
+tiles freely across the grid — that is what keeps VMEM bounded at N=96
+(block = TB x CI x N x H). Matmuls run with bf16 operands + f32 accumulation,
+matching XLA's default TPU matmul path. Used on the inference path; training
+keeps the XLA formulation (identical parameters).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _dot(a, b):
+    """bf16 operands, f32 accumulation."""
+    return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def _pick_tiles(b: int, n: int, h: int) -> Tuple[int, int]:
+    """(batch_tile, row_chunk) with the (TB, CI, N, H) block <= ~1.5MB.
+
+    The compiler keeps a few message-sized intermediates live; 1.5MB blocks
+    stay inside the 16MB scoped VMEM limit."""
+    budget = 3 * 1024 * 1024 // 2
+    per_row = n * h * 4
+    ci = n
+    tb = max(1, budget // max(ci * per_row, 1))
+    while b % tb != 0:
+        tb -= 1
+    if tb == 1 and ci * per_row > budget:
+        ci = max(8, budget // per_row)
+        while n % ci != 0:
+            ci -= 1
+        ci = max(ci, 1)
+    return tb, ci
+
+
+def _edge_mlp(h_src, h_full, e, wsrc_ref, wdst_ref, we_ref, b1_ref, w2_ref, b2_ref):
+    """Shared message pipeline: (TB,CI,H) x (TB,N,H) -> m (TB,CI,N,H)."""
+    tb, ci, hd = h_src.shape
+    n = h_full.shape[1]
+    hs = _dot(h_src.reshape(tb * ci, hd), wsrc_ref[:])
+    hdst = _dot(h_full.reshape(tb * n, hd), wdst_ref[:])
+    ep = _dot(e.reshape(tb * ci * n, e.shape[-1]), we_ref[:])
+    pre = (hs.reshape(tb, ci, 1, hd) + hdst.reshape(tb, 1, n, hd)
+           + ep.reshape(tb, ci, n, hd) + b1_ref[:])
+    m = jax.nn.silu(pre)
+    m = _dot(m.reshape(tb * ci * n, hd), w2_ref[:]) + b2_ref[:]
+    return jax.nn.silu(m)  # (TB*CI*N, H)
+
+
+def _gcl_kernel(h_src_ref, h_full_ref, e_ref, emask_ref, nmask_ref,
+                wsrc_ref, wdst_ref, we_ref, b1_ref, w2_ref, b2_ref,
+                attw_ref, attb_ref, nw1_ref, nb1_ref, nw2_ref, nb2_ref,
+                out_ref, *, norm_factor: float, attention: bool):
+    h_src = h_src_ref[:]                  # (TB, CI, H)
+    tb, ci, hd = h_src.shape
+    n = h_full_ref.shape[1]
+    m = _edge_mlp(h_src, h_full_ref[:], e_ref[:], wsrc_ref, wdst_ref, we_ref,
+                  b1_ref, w2_ref, b2_ref)
+    if attention:
+        att = jax.nn.sigmoid(_dot(m, attw_ref[:]) + attb_ref[:])
+        m = m * att
+    m = m.reshape(tb, ci, n, hd) * emask_ref[:]
+    agg = jnp.sum(m, axis=2) / norm_factor           # (TB, CI, H)
+    cat = jnp.concatenate([h_src, agg], axis=-1).reshape(tb * ci, 2 * hd)
+    o = jax.nn.silu(_dot(cat, nw1_ref[:]) + nb1_ref[:])
+    o = _dot(o, nw2_ref[:]) + nb2_ref[:]
+    out_ref[:] = (h_src + o.reshape(tb, ci, hd)) * nmask_ref[:]
+
+
+def fused_gcl(h: Array, edge_attr: Array, edge_mask: Array, node_mask: Array,
+              params: dict, normalization_factor: float, attention: bool = True) -> Array:
+    """One coarse-stage GCL, fully fused. Shapes: h (B,N,H), edge_attr
+    (B,N,N,E), edge_mask (B,N,N,1), node_mask (B,N,1). ``params`` is the
+    flax param subtree of ops.egnn.DenseGCL."""
+    b, n, hd = h.shape
+    tb, ci = _pick_tiles(b, n, hd)
+    grid = (b // tb, n // ci)
+
+    row = lambda shape: pl.BlockSpec(shape, lambda bi, ii: (bi, ii) + (0,) * (len(shape) - 2),
+                                     memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda bi, ii: (bi,) + (0,) * (len(shape) - 1),
+                                      memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    ei = params["edge_in"]
+    att = params.get("att")
+    node_in, node_out = params["node_in"], params["node_out"]
+    eo = params["edge_out"]
+    attw = att["kernel"] if attention else jnp.zeros((hd, 1), jnp.float32)
+    attb = att["bias"] if attention else jnp.zeros((1,), jnp.float32)
+
+    kernel = functools.partial(_gcl_kernel, norm_factor=normalization_factor,
+                               attention=attention)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), jnp.float32),
+        grid=grid,
+        in_specs=[
+            row((tb, ci, hd)),                       # h source rows
+            full((tb, n, hd)),                       # h full (dst side)
+            row((tb, ci, n, edge_attr.shape[-1])),   # edge attr rows
+            row((tb, ci, n, 1)),                     # edge mask rows
+            row((tb, ci, 1)),                        # node mask rows
+            wspec, wspec, wspec, wspec,              # wsrc wdst we b1
+            wspec, wspec,                            # w2 b2
+            wspec, wspec,                            # attw attb
+            wspec, wspec, wspec, wspec,              # nw1 nb1 nw2 nb2
+        ],
+        out_specs=row((tb, ci, hd)),
+    )(h, h, edge_attr, edge_mask, node_mask,
+      ei["w_src"], ei["w_dst"], ei["w_e"], ei["bias"],
+      eo["kernel"], eo["bias"], attw, attb,
+      node_in["kernel"], node_in["bias"], node_out["kernel"], node_out["bias"])
+
+
+def _coord_kernel(h_src_ref, h_full_ref, e_ref, cdiff_ref, emask_ref, nmask_ref, x_ref,
+                  wsrc_ref, wdst_ref, we_ref, b1_ref, w2_ref, b2_ref, whead_ref,
+                  out_ref, *, norm_factor: float, tanh: bool, coords_range: float):
+    h_src = h_src_ref[:]
+    tb, ci, hd = h_src.shape
+    n = h_full_ref.shape[1]
+    m = _edge_mlp(h_src, h_full_ref[:], e_ref[:], wsrc_ref, wdst_ref, we_ref,
+                  b1_ref, w2_ref, b2_ref)
+    s = _dot(m, whead_ref[:])
+    if tanh:
+        s = jnp.tanh(s) * coords_range
+    s = s.reshape(tb, ci, n, 1)
+    trans = cdiff_ref[:] * s * emask_ref[:]
+    agg = jnp.sum(trans, axis=2) / norm_factor
+    out_ref[:] = (x_ref[:] + agg) * nmask_ref[:]
+
+
+def fused_coord_update(h: Array, edge_attr: Array, coord_diff: Array, x: Array,
+                       edge_mask: Array, node_mask: Array, params: dict,
+                       normalization_factor: float, tanh: bool,
+                       coords_range: float) -> Array:
+    """Fused EquivariantUpdate (ops.egnn.DenseEquivariantUpdate params)."""
+    b, n, hd = h.shape
+    tb, ci = _pick_tiles(b, n, hd)
+    grid = (b // tb, n // ci)
+    row = lambda shape: pl.BlockSpec(shape, lambda bi, ii: (bi, ii) + (0,) * (len(shape) - 2),
+                                     memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda bi, ii: (bi,) + (0,) * (len(shape) - 1),
+                                      memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ci_p = params["coord_in"]
+    kernel = functools.partial(_coord_kernel, norm_factor=normalization_factor,
+                               tanh=tanh, coords_range=coords_range)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+        grid=grid,
+        in_specs=[
+            row((tb, ci, hd)), full((tb, n, hd)),
+            row((tb, ci, n, edge_attr.shape[-1])),
+            row((tb, ci, n, 3)), row((tb, ci, n, 1)), row((tb, ci, 1)),
+            row((tb, ci, 3)),
+            wspec, wspec, wspec, wspec, wspec, wspec, wspec,
+        ],
+        out_specs=row((tb, ci, 3)),
+    )(h, h, edge_attr, coord_diff, edge_mask, node_mask, x,
+      ci_p["w_src"], ci_p["w_dst"], ci_p["w_e"], ci_p["bias"],
+      params["coord_mid"]["kernel"], params["coord_mid"]["bias"],
+      params["coord_head"]["kernel"])

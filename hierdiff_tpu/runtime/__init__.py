@@ -1,0 +1,173 @@
+"""Native host runtime bindings (ctypes over libtreekit.so).
+
+Builds lazily on first use (``make -C hierdiff_tpu/runtime``); every entry
+point has a pure-Python fallback so the package works without a toolchain.
+``treekit_available()`` reports whether the native path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_LIB_PATH = _DIR / "libtreekit.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_i8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", str(_DIR)], check=True,
+                       capture_output=True, timeout=120)
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists() and not _build():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+
+    lib.tk_dfs_bidirection.restype = ctypes.c_int32
+    lib.tk_dfs_bidirection.argtypes = [
+        _f64p, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+        _i8p, ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+
+    lib.tk_make_search_adj.restype = None
+    lib.tk_make_search_adj.argtypes = [
+        _f64p, ctypes.c_int32, _i8p, ctypes.c_int32, ctypes.c_int32,
+        _f32p, _f32p]
+
+    lib.tk_pack_denoise_batch.restype = None
+    lib.tk_pack_denoise_batch.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+        _i32p, _i64p, _i64p, _f32p, _f32p, _f64p, _i64p, ctypes.c_int32,
+        _f32p, _f32p, _i32p, _i32p, _f32p, _f32p, _f32p, _f32p, _f32p,
+        _i32p, _i32p, _i32p]
+
+    lib.tk_pack_ar_fleet.restype = None
+    lib.tk_pack_ar_fleet.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        _i32p, _i64p, _f32p, _f32p, _f32p, _i64p, _i64p, ctypes.c_int32,
+        _f32p, _f32p, _f32p, _i32p, _i32p, _f32p]
+
+    _lib = lib
+    return lib
+
+
+def treekit_available() -> bool:
+    return _load() is not None
+
+
+def dfs_bidirection_native(adj: np.ndarray, seed: int, sample_idx: int = -1):
+    """Native dfs_bidirection; returns (undiscovered_mask, search_ind, last_ind)."""
+    lib = _load()
+    assert lib is not None
+    n = adj.shape[0]
+    adj = np.ascontiguousarray(adj, np.float64)
+    umask = np.zeros(n, np.uint8)
+    s = ctypes.c_int32()
+    l = ctypes.c_int32()
+    lib.tk_dfs_bidirection(adj, n, sample_idx, seed, umask,
+                           ctypes.byref(s), ctypes.byref(l))
+    return umask, int(s.value), int(l.value)
+
+
+def make_search_adj_native(adj: np.ndarray, umask: np.ndarray,
+                           search_ind: int, last_ind: int):
+    lib = _load()
+    assert lib is not None
+    n = adj.shape[0]
+    adj = np.ascontiguousarray(adj, np.float64)
+    org = np.zeros((n, n), np.float32)
+    search = np.zeros((n, n), np.float32)
+    lib.tk_make_search_adj(adj, n, np.ascontiguousarray(umask, np.uint8),
+                           search_ind, last_ind, org, search)
+    return org, search
+
+
+def pack_denoise_batch_native(trees, max_n: int, seed: int,
+                              undiscovered_token: int = 780) -> Dict[str, np.ndarray]:
+    """Native equivalent of data.denoise.make_denoise_batch (full_softmax)."""
+    lib = _load()
+    assert lib is not None
+    b = len(trees)
+    f = trees[0].feats.shape[1]
+    sizes = np.array([t.feats.shape[0] for t in trees], np.int32)
+    node_offsets = np.zeros(b, np.int64)
+    adj_offsets = np.zeros(b, np.int64)
+    node_offsets[1:] = np.cumsum(sizes[:-1])
+    adj_offsets[1:] = np.cumsum((sizes[:-1].astype(np.int64)) ** 2)
+    feats_in = np.ascontiguousarray(np.concatenate([t.feats for t in trees]), np.float32)
+    pos_in = np.ascontiguousarray(np.concatenate([t.pos for t in trees]), np.float32)
+    adj_in = np.ascontiguousarray(np.concatenate([t.adj.ravel() for t in trees]), np.float64)
+    wids_in = np.ascontiguousarray(np.concatenate([t.wids for t in trees]), np.int64)
+
+    out = {
+        "feats": np.zeros((b, max_n, f), np.float32),
+        "pos": np.zeros((b, max_n, 3), np.float32),
+        "discovered": np.zeros((b, max_n), np.int32),
+        "vocab_idx": np.zeros((b, max_n), np.int32),
+        "node_mask": np.zeros((b, max_n, 1), np.float32),
+        "edge_mask": np.zeros((b, max_n, max_n), np.float32),
+        "search_adj": np.zeros((b, max_n, max_n), np.float32),
+        "focal_label": np.zeros((b, max_n), np.float32),
+        "undiscovered": np.zeros((b, max_n), np.float32),
+        "predict_idx": np.zeros(b, np.int32),
+        "last_ind": np.zeros(b, np.int32),
+        "label": np.zeros(b, np.int32),
+    }
+    lib.tk_pack_denoise_batch(
+        b, max_n, f, seed, sizes, node_offsets, adj_offsets,
+        feats_in, pos_in, adj_in, wids_in, undiscovered_token,
+        out["feats"], out["pos"], out["discovered"], out["vocab_idx"],
+        out["node_mask"].reshape(b, max_n), out["edge_mask"],
+        out["search_adj"], out["focal_label"], out["undiscovered"],
+        out["predict_idx"], out["last_ind"], out["label"])
+    return out
+
+
+def pack_ar_fleet_native(states, max_n: int, undiscovered_token: int = 780):
+    """Native equivalent of sampling.ar.ARSampler._batch_step's packing."""
+    lib = _load()
+    assert lib is not None
+    b = len(states)
+    f = states[0].feats.shape[1]
+    sizes = np.array([s.n for s in states], np.int32)
+    node_offsets = np.zeros(b, np.int64)
+    adj_offsets = np.zeros(b, np.int64)
+    node_offsets[1:] = np.cumsum(sizes[:-1])
+    adj_offsets[1:] = np.cumsum((sizes[:-1].astype(np.int64)) ** 2)
+    feats_in = np.ascontiguousarray(np.concatenate([s.feats for s in states]), np.float32)
+    pos_in = np.ascontiguousarray(np.concatenate([s.pos for s in states]), np.float32)
+    adj_in = np.ascontiguousarray(
+        np.concatenate([s.adj.astype(np.float32).ravel() for s in states]), np.float32)
+    wids_in = np.ascontiguousarray(np.concatenate([s.wids for s in states]), np.int64)
+
+    feats = np.zeros((b, max_n, f), np.float32)
+    pos = np.zeros((b, max_n, 3), np.float32)
+    adj = np.zeros((b, max_n, max_n), np.float32)
+    vocab = np.zeros((b, max_n), np.int32)
+    disc = np.zeros((b, max_n), np.int32)
+    nmask = np.zeros((b, max_n, 1), np.float32)
+    lib.tk_pack_ar_fleet(b, max_n, f, sizes, node_offsets, feats_in, pos_in,
+                         adj_in, adj_offsets, wids_in, undiscovered_token,
+                         feats, pos, adj, vocab, disc,
+                         nmask.reshape(b, max_n))
+    return feats, pos, adj, vocab, disc, nmask

@@ -81,25 +81,31 @@ class ARSampler:
         return self._step_cache[n]
 
     def _batch_step(self, states: Sequence[TreeState]):
-        """Pad the fleet to one bucket and run the device step."""
+        """Pad the fleet to one bucket and run the device step. Packing uses
+        the native treekit when available (runtime/treekit.cpp)."""
         nb = bucket_for(max(s.n for s in states))
-        b = len(states)
-        f = states[0].feats.shape[1]
-        feats = np.zeros((b, nb, f), np.float32)
-        pos = np.zeros((b, nb, 3), np.float32)
-        adj = np.zeros((b, nb, nb), np.float32)
-        vocab = np.full((b, nb), UNDISCOVERED_TOKEN, np.int32)
-        disc = np.zeros((b, nb), np.int32)
-        nmask = np.zeros((b, nb, 1), np.float32)
-        for i, s in enumerate(states):
-            k = s.n
-            feats[i, :k] = s.feats
-            pos[i, :k] = s.pos
-            adj[i, :k, :k] = s.adj
-            assigned = s.wids >= 0
-            vocab[i, :k] = np.where(assigned, s.wids, UNDISCOVERED_TOKEN)
-            disc[i, :k] = assigned.astype(np.int32)
-            nmask[i, :k] = 1.0
+        from hierdiff_tpu import runtime
+        if runtime.treekit_available():
+            feats, pos, adj, vocab, disc, nmask = runtime.pack_ar_fleet_native(
+                states, nb, undiscovered_token=UNDISCOVERED_TOKEN)
+        else:
+            b = len(states)
+            f = states[0].feats.shape[1]
+            feats = np.zeros((b, nb, f), np.float32)
+            pos = np.zeros((b, nb, 3), np.float32)
+            adj = np.zeros((b, nb, nb), np.float32)
+            vocab = np.full((b, nb), UNDISCOVERED_TOKEN, np.int32)
+            disc = np.zeros((b, nb), np.int32)
+            nmask = np.zeros((b, nb, 1), np.float32)
+            for i, s in enumerate(states):
+                k = s.n
+                feats[i, :k] = s.feats
+                pos[i, :k] = s.pos
+                adj[i, :k, :k] = s.adj
+                assigned = s.wids >= 0
+                vocab[i, :k] = np.where(assigned, s.wids, UNDISCOVERED_TOKEN)
+                disc[i, :k] = assigned.astype(np.int32)
+                nmask[i, :k] = 1.0
         out = self._step_fn(nb)(self.params, jnp.asarray(feats), jnp.asarray(disc),
                                 jnp.asarray(vocab), jnp.asarray(pos),
                                 jnp.asarray(adj), jnp.asarray(nmask))

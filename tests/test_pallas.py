@@ -1,0 +1,81 @@
+"""Fused Pallas kernel equivalence tests (run on TPU; skipped on CPU CI).
+
+Golden reference = the XLA dense path at HIGHEST matmul precision; the
+kernels use bf16 operands with f32 accumulation, so tolerances are bf16-level
+for a single layer application.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(jax.default_backend() != "tpu",
+                                  reason="pallas TPU kernels need a TPU")
+
+
+def make_inputs(B, N, H, key=0):
+    from hierdiff_tpu.ops.egnn import coord2diff_dense
+
+    h = jax.random.normal(jax.random.PRNGKey(key), (B, N, H))
+    x = jax.random.normal(jax.random.PRNGKey(key + 1), (B, N, 3))
+    radial, cdiff = coord2diff_dense(x, norm_constant=0.0)
+    e = jnp.concatenate([radial, radial], axis=-1)
+    em = jnp.asarray(np.broadcast_to((1 - np.eye(N))[None, :, :, None],
+                                     (B, N, N, 1)).copy().astype(np.float32))
+    nm = jnp.ones((B, N, 1))
+    return h, x, radial, cdiff, e, em, nm
+
+
+@requires_tpu
+@pytest.mark.parametrize("B,N", [(32, 12), (8, 96)])
+def test_fused_gcl_matches_xla(B, N):
+    from hierdiff_tpu.ops.egnn import DenseGCL
+    H = 256
+    h, x, radial, cdiff, e, em, nm = make_inputs(B, N, H)
+    gcl = DenseGCL(hidden_nf=H, normalization_factor=10.0, attention=True)
+    gcl_pl = DenseGCL(hidden_nf=H, normalization_factor=10.0, attention=True,
+                      use_pallas=True)
+    params = gcl.init(jax.random.PRNGKey(2), h, e, nm, em)
+    with jax.default_matmul_precision("highest"):
+        ref = np.asarray(gcl.apply(params, h, e, nm, em))
+    out = np.asarray(gcl_pl.apply(params, h, e, nm, em))
+    err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 2e-2, err  # bf16 operand error grows ~sqrt(N) with the reduction
+
+
+@requires_tpu
+def test_fused_coord_matches_xla():
+    from hierdiff_tpu.ops.egnn import DenseEquivariantUpdate
+    B, N, H = 32, 12, 256
+    h, x, radial, cdiff, e, em, nm = make_inputs(B, N, H)
+    equ = DenseEquivariantUpdate(hidden_nf=H, normalization_factor=10.0,
+                                 tanh=True, coords_range=5.0)
+    equ_pl = DenseEquivariantUpdate(hidden_nf=H, normalization_factor=10.0,
+                                    tanh=True, coords_range=5.0, use_pallas=True)
+    params = equ.init(jax.random.PRNGKey(3), h, x, cdiff, e, nm, em)
+    with jax.default_matmul_precision("highest"):
+        ref = np.asarray(equ.apply(params, h, x, cdiff, e, nm, em))
+    out = np.asarray(equ_pl.apply(params, h, x, cdiff, e, nm, em))
+    err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 2e-2, err  # bf16 operand error grows ~sqrt(N) with the reduction
+
+
+@requires_tpu
+def test_use_pallas_model_flag():
+    """The full EGNN with use_pallas=True matches the XLA path."""
+    from hierdiff_tpu.ops.egnn import DenseEGNN
+
+    B, N, H = 16, 12, 64
+    h, x, radial, cdiff, e, em, nm = make_inputs(B, N, 11)
+    xla = DenseEGNN(hidden_nf=H, out_node_nf=11, n_layers=2, inv_sublayers=2,
+                    attention=True, tanh=True, normalization_factor=10.0,
+                    norm_constant=0.0)
+    plm = DenseEGNN(hidden_nf=H, out_node_nf=11, n_layers=2, inv_sublayers=2,
+                    attention=True, tanh=True, normalization_factor=10.0,
+                    norm_constant=0.0, use_pallas=True)
+    params = xla.init(jax.random.PRNGKey(0), h, x, nm, em)
+    h1, x1 = xla.apply(params, h, x, nm, em)
+    h2, x2 = plm.apply(params, h, x, nm, em)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=0.15, rtol=0.15)  # wiring check; bf16 drift compounds over 2 blocks
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=0.15, rtol=0.15)
