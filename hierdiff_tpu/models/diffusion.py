@@ -78,8 +78,19 @@ class CoarseDiffusion(nn.Module):
     context_node_nf: int = 0
     remat: bool = False
     use_pallas: bool = False
+    pocket: bool = False           # pocket-conditioned (crossdock) variant
+    # The reference's pocket edge mask is BLOCK-DIAGONAL (mol-mol +
+    # pocket-pocket only, diffusion_qm9.py:714-719, 369-371), which leaves
+    # the EGNN unable to pass any message between molecule and pocket — the
+    # conditioning is inert there. True (default) adds the mol<->pocket
+    # cross edges; False reproduces the reference mask exactly.
+    pocket_cross_edges: bool = True
 
     def setup(self):
+        if self.pocket:
+            # 21 tokens: padding 0 + 20 residue types
+            # (reference: diffusion_qm9.py:55-56)
+            self.pocket_embed = nn.Embed(21, self.in_node_nf)
         if self.noise_schedule == "learned":
             assert self.loss_type == "vlb", "learned schedule requires vlb loss"
             self.gamma = GammaNetwork()
@@ -224,8 +235,9 @@ class CoarseDiffusion(nn.Module):
 
     def compute_loss(self, rng: Array, x: Array, h: Array, node_mask: Array,
                      edge_mask: Array, context: Optional[Array], t0_always: bool,
-                     train: bool) -> Tuple[Array, Dict[str, Array]]:
-        """VLB / l2 estimator. (reference: diffusion_qm9.py:530-673)"""
+                     train: bool, mol_shape: Optional[int] = None) -> Tuple[Array, Dict[str, Array]]:
+        """VLB / l2 estimator; ``mol_shape`` freezes the pocket tail.
+        (reference: diffusion_qm9.py:530-673)"""
         b = x.shape[0]
         rng_t, rng_eps, rng_eps0 = jax.random.split(rng, 3)
         lowest_t = 1 if t0_always else 0
@@ -234,6 +246,15 @@ class CoarseDiffusion(nn.Module):
         t_is_zero = (t_int == 0).astype(jnp.float32)
         s = s_int / self.timesteps
         t = t_int / self.timesteps
+
+        # split off frozen pocket rows (reference: diffusion_qm9.py:553-557)
+        full_node_mask, full_edge_mask = node_mask, edge_mask
+        if mol_shape is not None:
+            x_fix, h_fix = x[:, mol_shape:], h[:, mol_shape:]
+            x, h = x[:, :mol_shape], h[:, :mol_shape]
+            node_mask = full_node_mask[:, :mol_shape]
+        else:
+            x_fix = h_fix = None
 
         gamma_s = self.gamma_of(s)
         gamma_t = self.gamma_of(t)
@@ -244,7 +265,15 @@ class CoarseDiffusion(nn.Module):
         xh = jnp.concatenate([x, h], axis=2)
         z_t = alpha_t * xh + sigma_t * eps
 
-        net_out = self.phi(z_t, t, node_mask, edge_mask, context)
+        if x_fix is not None:
+            xh_fix = jnp.concatenate([x_fix, h_fix], axis=2)
+            z_in = jnp.concatenate([z_t, xh_fix], axis=1)
+        else:
+            z_in = z_t
+        net_out = self.phi(z_in, t, full_node_mask, full_edge_mask, context,
+                           mol_shape=mol_shape)
+        if mol_shape is not None:
+            net_out = net_out[:, :mol_shape]
         error = self.compute_error(net_out, eps, train)
 
         if train and self.loss_type == "l2":
@@ -268,7 +297,11 @@ class CoarseDiffusion(nn.Module):
             sigma_0 = inflate(sigma_from_gamma(gamma_0), x.ndim)
             eps_0 = sample_combined_noise(rng_eps0, node_mask, self.n_dims, self.in_node_nf)
             z_0 = alpha_0 * xh + sigma_0 * eps_0
-            net_out0 = self.phi(z_0, t_zeros, node_mask, edge_mask, context)
+            z0_in = jnp.concatenate([z_0, xh_fix], axis=1) if x_fix is not None else z_0
+            net_out0 = self.phi(z0_in, t_zeros, full_node_mask, full_edge_mask,
+                                context, mol_shape=mol_shape)
+            if mol_shape is not None:
+                net_out0 = net_out0[:, :mol_shape]
             loss_term_0 = -self.log_pxh_given_z0_without_constants(
                 h, z_0, gamma_0, eps_0, net_out0, node_mask, train=train)
             loss = kl_prior + estimator_loss_terms + neg_log_constants + loss_term_0
@@ -286,15 +319,25 @@ class CoarseDiffusion(nn.Module):
         return loss, {"t": t_int.squeeze(-1), "error": error}
 
     def nll(self, rng: Array, x: Array, h: Array, node_mask: Array, edge_mask: Array,
-            context: Optional[Array] = None, train: bool = True) -> Tuple[Array, Dict[str, Array]]:
+            context: Optional[Array] = None, train: bool = True,
+            mol_shape: Optional[int] = None) -> Tuple[Array, Dict[str, Array]]:
         """Normalized NLL (training: 1-pass estimator; eval: t0_always).
         (reference: diffusion_qm9.py:675-699)
         """
-        x, h, delta_log_px = self.normalize(x, h, node_mask)
+        nm_mol = node_mask if mol_shape is None else node_mask[:, :mol_shape]
+        x_n, h_n, delta_log_px = self.normalize(
+            x[:, :mol_shape] if mol_shape is not None else x,
+            h[:, :mol_shape] if mol_shape is not None else h, nm_mol)
+        if mol_shape is not None:
+            x = jnp.concatenate([x_n, x[:, mol_shape:]], axis=1)
+            h = jnp.concatenate([h_n, h[:, mol_shape:]], axis=1)
+        else:
+            x, h = x_n, h_n
         if train and self.loss_type == "l2":
             delta_log_px = jnp.zeros_like(delta_log_px)
         loss, info = self.compute_loss(rng, x, h, node_mask, edge_mask, context,
-                                       t0_always=not train, train=train)
+                                       t0_always=not train, train=train,
+                                       mol_shape=mol_shape)
         return loss - delta_log_px, info
 
     def __call__(self, batch: Dict[str, Any], rng: Array, train: bool = True) -> Dict[str, Array]:
@@ -313,8 +356,29 @@ class CoarseDiffusion(nn.Module):
                 f"with in_node_nf={self.in_node_nf}")
         context = batch.get("context") if self.context_node_nf > 0 else None
 
-        x = remove_mean_with_mask(x, node_mask)
-        nll, info = self.nll(rng, x, h, node_mask, edge_mask, context, train=train)
+        mol_shape = None
+        if self.pocket:
+            # concat frozen pocket rows after the molecule rows
+            # (reference: diffusion_qm9.py:701-726)
+            mol_shape = x.shape[1]
+            x = jnp.concatenate([x, batch["protein_pos"]], axis=1)
+            pfeat = self.pocket_embed(batch["protein_feat"].astype(jnp.int32))
+            h = jnp.concatenate([h, pfeat], axis=1)
+            pmask = batch["protein_feat_mask"].astype(x.dtype)
+            node_mask = jnp.concatenate([node_mask, pmask], axis=1)
+            n_tot = x.shape[1]
+            em = jnp.zeros((x.shape[0], n_tot, n_tot), x.dtype)
+            em = em.at[:, :mol_shape, :mol_shape].set(edge_mask)
+            em = em.at[:, mol_shape:, mol_shape:].set(batch["protein_edge_mask"].astype(x.dtype))
+            if self.pocket_cross_edges:
+                cross = node_mask[:, :mol_shape, 0, None] * pmask[:, None, :, 0]
+                em = em.at[:, :mol_shape, mol_shape:].set(cross)
+                em = em.at[:, mol_shape:, :mol_shape].set(jnp.transpose(cross, (0, 2, 1)))
+            edge_mask = em
+
+        x = remove_mean_with_mask(x, node_mask, fix_size=mol_shape)
+        nll, info = self.nll(rng, x, h, node_mask, edge_mask, context, train=train,
+                             mol_shape=mol_shape)
         return {"loss": jnp.mean(nll), "nll": nll, **info}
 
     # --- reverse-process kernels (used by the sampler's lax.scan) ----------
@@ -331,6 +395,12 @@ class CoarseDiffusion(nn.Module):
         sigma_t = inflate(sigma_from_gamma(gamma_t), z_t.ndim)
 
         eps_t = self.phi(z_t, t, node_mask, edge_mask, context, mol_shape)
+        if mol_shape is not None:
+            # slice to molecule rows BEFORE the CoM projection so the pocket
+            # tail never enters the mean (reference: diffusion_qm9.py:324-331)
+            eps_t = eps_t[:, :mol_shape]
+            z_t = z_t[:, :mol_shape]
+            node_mask = node_mask[:, :mol_shape]
         eps_x = remove_mean_with_mask(eps_t[:, :, : self.n_dims], node_mask)
         eps_t = jnp.concatenate([eps_x, eps_t[:, :, self.n_dims:]], axis=2)
         mu = z_t / alpha_ts - (sigma2_ts / alpha_ts / sigma_t) * eps_t

@@ -125,14 +125,18 @@ class NodeRefine(nn.Module):
         acc = jnp.mean((pred == batch["label"]).astype(jnp.float32))
         return {"loss": jnp.mean(ce), "accuracy": acc, "logits": logits}
 
-    def check_logp(self, feats: Array, vocab: Array, size: Array, pos: Array,
-                   adj: Array, node_mask: Array, pad_idx: Array, val: Array) -> Array:
-        """Vocab log-softmax at a masked node — the device kernel behind
+    def check_logits(self, feats: Array, vocab: Array, size: Array, pos: Array,
+                     adj: Array, node_mask: Array, pad_idx: Array, val: Array) -> Array:
+        """Raw vocab logits at a masked node — the device kernel behind
         check_node (reference: model_refine.py:115-173). The caller masks the
-        node (vocab=MASK_TOKEN at pad_idx) and restricts support host-side.
-        Returns (B, V) log-probabilities (unrestricted)."""
+        node (vocab=MASK_TOKEN at pad_idx) and restricts support host-side."""
         h = self.encode(feats, vocab, size, node_mask)
         center = (jnp.arange(h.shape[1])[None, :] == pad_idx[:, None]).astype(jnp.float32)
         h, x = self.message(h, pos, adj, center, node_mask)
-        logits = self.logits_at(h, pad_idx, val)
+        return self.logits_at(h, pad_idx, val)
+
+    def check_logp(self, feats: Array, vocab: Array, size: Array, pos: Array,
+                   adj: Array, node_mask: Array, pad_idx: Array, val: Array) -> Array:
+        """(B, V) log-softmax over the full vocabulary at a masked node."""
+        logits = self.check_logits(feats, vocab, size, pos, adj, node_mask, pad_idx, val)
         return masked_log_softmax(logits, jnp.ones_like(logits))

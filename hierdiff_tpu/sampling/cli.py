@@ -1,0 +1,184 @@
+"""Sampling CLIs: coarse point clouds and the full generation pipeline.
+
+    # stage 1 only (sampler.py equivalent): pickle blurred point sets
+    python -m hierdiff_tpu.sampling.cli coarse --workdir runs/coarse \\
+        --num 64 --out samples.pkl
+
+    # full pipeline (ar_sampling_nosize.py + reconstruct.py equivalent)
+    python -m hierdiff_tpu.sampling.cli generate --workdir runs/coarse \\
+        --denoise-workdir runs/denoise [--refine-workdir runs/refine] \\
+        --num 64 --beam 5 --out molecules.pkl
+
+Checkpoints come from the training CLIs' Orbax workdirs; EMA params are used
+when present (sampling should see the averaged weights).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pickle
+from pathlib import Path
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def load_checkpoint_params(workdir: str):
+    """Latest Orbax checkpoint from a training workdir -> (params, config)."""
+    ckpt_dir = (Path(workdir) / "checkpoints").resolve()
+    mngr = ocp.CheckpointManager(ckpt_dir)
+    step = mngr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    restored = mngr.restore(step)
+    params = restored.get("ema_params") or restored["params"]
+    cfg = json.loads((Path(workdir) / "config.json").read_text())
+    return {"params": params["params"] if "params" in params else params}, cfg, step
+
+
+def build_coarse_from_cfg(cfg: dict):
+    from hierdiff_tpu.models.diffusion import CoarseDiffusion
+
+    m = cfg["coarse"]
+    return CoarseDiffusion(
+        in_node_nf=8 if m["node_coarse_type"] == "prop" else 3,
+        timesteps=m["timesteps"], loss_type=m["loss_type"],
+        noise_schedule=m["noise_schedule"], noise_precision=m["noise_precision"],
+        norm_values=tuple(m["norm_values"]), norm_biases=tuple(m["norm_biases"]),
+        hidden_nf=m["hidden_nf"], n_layers=m["n_layers"],
+        inv_sublayers=m["inv_sublayers"], attention=m["attention"], tanh=m["tanh"],
+        coords_range=m["coords_range"], norm_constant=m["norm_constant"],
+        normalization_factor=m["normalization_factor"],
+        aggregation_method=m["aggregation_method"],
+        condition_time=m["condition_time"], context_node_nf=m["context_node_nf"])
+
+
+def build_denoise_from_cfg(cfg: dict):
+    from hierdiff_tpu.models.edge_denoise import EdgeDenoise
+
+    m = cfg["denoise"]
+    return EdgeDenoise(
+        vocab_size=m["vocab_size"], out_node_nf=m["out_node_nf"],
+        in_node_nf=m["in_node_nf"], hidden_nf=m["hidden_nf"],
+        n_layers_full=m["n_layers_full"], n_layers_focal=m["n_layers_focal"],
+        vocab_conditioning=m.get("vocab_conditioning", False))
+
+
+def build_refine_from_cfg(cfg: dict):
+    from hierdiff_tpu.models.refine import NodeRefine
+
+    m = cfg["refine"]
+    return NodeRefine(vocab_size=m["vocab_size"], feature_size=m["feature_size"],
+                      hidden_size=m["hidden_size"], n_layers=m["n_layers"])
+
+
+def cmd_coarse(args):
+    from hierdiff_tpu.data.assets import load_geom_histogram
+    from hierdiff_tpu.ops.distributions import DistributionNodes
+    from hierdiff_tpu.sampling.coarse import make_masks_for_counts, sample_coarse
+
+    params, cfg, step = load_checkpoint_params(args.workdir)
+    model = build_coarse_from_cfg(cfg)
+    print(f"loaded coarse checkpoint @ step {step}")
+
+    dist = DistributionNodes(load_geom_histogram())
+    rng_np = np.random.default_rng(args.seed)
+    results = []
+    key = jax.random.PRNGKey(args.seed)
+    for b in range(0, args.num, args.batch_size):
+        k = min(args.batch_size, args.num - b)
+        counts = dist.sample_np(rng_np, k)
+        if args.max_nodes:
+            counts = np.minimum(counts, args.max_nodes)
+        nm, em = make_masks_for_counts(counts)
+        x, h = sample_coarse(model, params, jax.random.fold_in(key, b), nm, em)
+        x, h = np.asarray(x), np.asarray(h)
+        for i, c in enumerate(counts):
+            results.append({"x": x[i, :c], "h": h[i, :c]})
+    with open(args.out, "wb") as f:
+        pickle.dump([results], f)  # list-wrapped like the reference pkl layout
+    print(f"{len(results)} point sets -> {args.out}")
+
+
+def cmd_generate(args):
+    from hierdiff_tpu.chem import HAS_RDKIT
+    from hierdiff_tpu.data.assets import load_geom_histogram
+    from hierdiff_tpu.sampling.pipeline import GenerationPipeline
+
+    cparams, ccfg, cstep = load_checkpoint_params(args.workdir)
+    coarse = build_coarse_from_cfg(ccfg)
+    dparams, dcfg, dstep = load_checkpoint_params(args.denoise_workdir)
+    denoise = build_denoise_from_cfg(dcfg)
+    print(f"coarse @ {cstep}, denoise @ {dstep}")
+
+    refine_hook = None
+    if args.refine_workdir:
+        from hierdiff_tpu.chem.mol_tree import Vocab
+        from hierdiff_tpu.sampling.refine_hook import RefineHook
+
+        rparams, rcfg, rstep = load_checkpoint_params(args.refine_workdir)
+        refine = build_refine_from_cfg(rcfg)
+        vocab_sizes = np.asarray(Vocab().mol_sizes)
+        refine_hook = RefineHook(refine, rparams, vocab_sizes)
+        print(f"refine @ {rstep}")
+
+    vocab = None
+    if HAS_RDKIT:
+        from hierdiff_tpu.chem.mol_tree import Vocab
+        vocab = Vocab()
+
+    pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
+                              histogram=load_geom_histogram(),
+                              beam_size=args.beam, refine_hook=refine_hook,
+                              vocab=vocab, max_n_cap=args.max_nodes or None)
+    result = pipe.run(jax.random.PRNGKey(args.seed), args.num,
+                      reconstruct=HAS_RDKIT, n_workers=args.workers)
+    ok = [t for t in result.trees if t is not None]
+    print(f"assembled {len(ok)}/{args.num} junction trees")
+    if result.stats:
+        print("reconstruction:", result.stats)
+    payload = {
+        "trees": [None if t is None else
+                  {"wids": t.wids, "adj": t.adj, "pos": t.pos, "feats": t.feats,
+                   "logp": t.logp} for t in result.trees],
+        "molecules": result.molecules,
+        "stats": result.stats,
+    }
+    with open(args.out, "wb") as f:
+        pickle.dump(payload, f)
+    print(f"-> {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="HierDiff-TPU sampling")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser("coarse", help="stage-1 blurred point sets")
+    pc.add_argument("--workdir", required=True)
+    pc.add_argument("--num", type=int, default=64)
+    pc.add_argument("--batch-size", type=int, default=64)
+    pc.add_argument("--max-nodes", type=int, default=0)
+    pc.add_argument("--seed", type=int, default=2022)
+    pc.add_argument("--out", default="sample_results.pkl")
+    pc.set_defaults(fn=cmd_coarse)
+
+    pg = sub.add_parser("generate", help="full 3-stage pipeline")
+    pg.add_argument("--workdir", required=True, help="coarse training workdir")
+    pg.add_argument("--denoise-workdir", required=True)
+    pg.add_argument("--refine-workdir", default="")
+    pg.add_argument("--num", type=int, default=64)
+    pg.add_argument("--beam", type=int, default=5)
+    pg.add_argument("--max-nodes", type=int, default=0)
+    pg.add_argument("--workers", type=int, default=0)
+    pg.add_argument("--seed", type=int, default=2022)
+    pg.add_argument("--out", default="generated.pkl")
+    pg.set_defaults(fn=cmd_generate)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -89,3 +89,69 @@ def sample_coarse(
     h = z[:, :, model.n_dims:]  # h taken from z0 (reference: diffusion_qm9.py:308)
     x, h = apply(CoarseDiffusion.unnormalize, x, h, node_mask)
     return x, h
+
+
+@partial(jax.jit, static_argnames=("model",))
+def sample_coarse_pocket(
+    model: CoarseDiffusion,
+    params,
+    rng: Array,
+    node_mask: Array,
+    edge_mask: Array,
+    protein_feat: Array,
+    protein_pos: Array,
+    protein_node_mask: Array,
+    protein_edge_mask: Array,
+) -> Tuple[Array, Array]:
+    """Pocket-conditioned sampling: molecule rows diffuse, pocket rows are
+    frozen context appended after them. (reference: diffusion_qm9.py:361-384)
+
+    Returns (x, h) for the molecule rows only.
+    """
+    b, n_mol = node_mask.shape[:2]
+    k = protein_pos.shape[1]
+    T = model.timesteps
+    rng, rng_init = jax.random.split(rng)
+
+    apply = lambda method, *a, **kw: model.apply(params, *a, method=method, **kw)
+    gamma_grid = apply(CoarseDiffusion.gamma_grid)
+
+    pfeat = model.apply(params, protein_feat.astype(jnp.int32),
+                        method=lambda m, f: m.pocket_embed(f))
+    pocket_xh = jnp.concatenate([protein_pos, pfeat], axis=2)
+
+    nm_cat = jnp.concatenate([node_mask, protein_node_mask], axis=1)
+    n_tot = n_mol + k
+    em_cat = jnp.zeros((b, n_tot, n_tot))
+    em_cat = em_cat.at[:, :n_mol, :n_mol].set(edge_mask)
+    em_cat = em_cat.at[:, n_mol:, n_mol:].set(protein_edge_mask)
+    if model.pocket_cross_edges:
+        cross = node_mask[:, :, 0, None] * protein_node_mask[:, None, :, 0]
+        em_cat = em_cat.at[:, :n_mol, n_mol:].set(cross)
+        em_cat = em_cat.at[:, n_mol:, :n_mol].set(jnp.transpose(cross, (0, 2, 1)))
+
+    z = sample_combined_noise(rng_init, node_mask, model.n_dims, model.in_node_nf)
+
+    def step(z, s):
+        t_int = s + 1
+        gamma_s = jnp.broadcast_to(gamma_grid[s], (b, 1))
+        gamma_t = jnp.broadcast_to(gamma_grid[t_int], (b, 1))
+        t_norm = jnp.broadcast_to(t_int.astype(jnp.float32) / T, (b, 1))
+        z_cat = jnp.concatenate([z, pocket_xh], axis=1)
+        mu, sigma = apply(CoarseDiffusion.sample_zs_stats, z_cat, gamma_s, gamma_t,
+                          nm_cat, em_cat, t_norm, None, mol_shape=n_mol)
+        eps = sample_combined_noise(jax.random.fold_in(rng, s), node_mask,
+                                    model.n_dims, model.in_node_nf)
+        z_new = mu + sigma * eps
+        zx = remove_mean_with_mask(z_new[:, :, : model.n_dims], node_mask)
+        return jnp.concatenate([zx, z_new[:, :, model.n_dims:]], axis=2), ()
+
+    z, _ = jax.lax.scan(step, z, jnp.arange(T - 1, -1, -1))
+
+    mu_x, sigma_x = apply(CoarseDiffusion.sample_x_given_z0_stats, z, node_mask, edge_mask, None)
+    eps = sample_combined_noise(jax.random.fold_in(rng, T), node_mask, model.n_dims, model.in_node_nf)
+    xh = mu_x + sigma_x * eps
+    x = xh[:, :, : model.n_dims]
+    h = z[:, :, model.n_dims:]
+    x, h = apply(CoarseDiffusion.unnormalize, x, h, node_mask)
+    return x, h

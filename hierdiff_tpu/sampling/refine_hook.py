@@ -1,0 +1,145 @@
+"""Beam-search refine perturbation: the check_tree hook.
+
+Rebuild of ``Node2Vec.check_tree`` (models/model_refine.py:175-249): during
+beam search, re-score every ASSIGNED node of each candidate tree with the
+refine model (mask the node, size-restricted softmax), and if swapping the
+lowest-probability mispredicted node to the model's top choice raises the
+tree's total log-probability (and passes the optional assembly gate), commit
+the swap and skip the tree's expansion this round.
+
+Device work is one batched ``NodeRefine.check_logits`` call per fleet —
+every (tree, masked-node) pair across all candidates rides a single jitted
+call with bucketed shapes, vs the reference's per-tree per-node loops.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hierdiff_tpu.data.collate import bucket_for
+from hierdiff_tpu.data.refine import size_support_indices
+from hierdiff_tpu.models.refine import MASK_TOKEN, NodeRefine
+from hierdiff_tpu.sampling.ar import TreeState
+
+
+class RefineHook:
+    def __init__(self, model: NodeRefine, params, vocab_sizes: np.ndarray,
+                 check_frac: float = 0.1,
+                 can_assemble: Optional[Callable[[TreeState, int], bool]] = None):
+        """vocab_sizes: heavy-atom count per vocab index (Vocab.mol_sizes)."""
+        self.model = model
+        self.params = params
+        self.vocab_sizes = np.asarray(vocab_sizes)
+        self.check_frac = check_frac
+        self.can_assemble = can_assemble
+        self._fn_cache: Dict[int, Callable] = {}
+        self._support_cache: Dict[int, np.ndarray] = {}
+
+    def _fn(self, n: int):
+        if n not in self._fn_cache:
+            model = self.model
+
+            @jax.jit
+            def run(params, feats, vocab, size, pos, adj, nmask, pad_idx, val):
+                return model.apply(params, feats, vocab, size, pos, adj, nmask,
+                                   pad_idx, val, method=NodeRefine.check_logits)
+
+            self._fn_cache[n] = run
+        return self._fn_cache[n]
+
+    def _support(self, size: int) -> np.ndarray:
+        if size not in self._support_cache:
+            self._support_cache[size] = np.asarray(
+                size_support_indices(size, self.model.vocab_size), np.int64)
+        return self._support_cache[size]
+
+    def _score_nodes(self, jobs: List[Tuple[TreeState, np.ndarray, int]]) -> np.ndarray:
+        """Each job = (state, wids_override, masked_node). One device call.
+        Returns logits (K, V)."""
+        nb = bucket_for(max(j[0].n for j in jobs))
+        k = len(jobs)
+        f = jobs[0][0].feats.shape[1]
+        feats = np.zeros((k, nb, f), np.float32)
+        vocab = np.zeros((k, nb), np.int32)
+        size = np.zeros((k, nb), np.int32)
+        pos = np.zeros((k, nb, 3), np.float32)
+        adj = np.zeros((k, nb, nb), np.float32)
+        nmask = np.zeros((k, nb, 1), np.float32)
+        pad_idx = np.zeros((k,), np.int32)
+        val = np.zeros((k,), np.float32)
+        for i, (s, wids, node) in enumerate(jobs):
+            n = s.n
+            feats[i, :n] = s.feats
+            feats[i, node] = 0.0
+            vocab[i, :n] = wids
+            vocab[i, node] = MASK_TOKEN
+            size[i, :n] = self.vocab_sizes[np.clip(wids, 0, len(self.vocab_sizes) - 1)]
+            a = s.adj.copy()
+            np.fill_diagonal(a, 0)
+            adj[i, :n, :n] = a
+            pos[i, :n] = s.pos
+            nmask[i, :n] = 1.0
+            pad_idx[i] = node
+            val[i] = a[node].sum()
+        logits = self._fn(nb)(self.params, jnp.asarray(feats), jnp.asarray(vocab),
+                              jnp.asarray(size), jnp.asarray(pos), jnp.asarray(adj),
+                              jnp.asarray(nmask), jnp.asarray(pad_idx), jnp.asarray(val))
+        return np.asarray(logits)
+
+    def _node_logps(self, state: TreeState, wids: np.ndarray, nodes: np.ndarray):
+        """Size-restricted logp of the current wid + top-1 proposal per node."""
+        jobs = [(state, wids, int(n)) for n in nodes]
+        logits = self._score_nodes(jobs)
+        logps = np.zeros(len(nodes))
+        top = np.zeros(len(nodes), np.int64)
+        for i, n in enumerate(nodes):
+            cur = int(wids[n])
+            support = self._support(int(self.vocab_sizes[cur]))
+            if cur not in support:
+                support = np.append(support, cur)
+            ls = logits[i, support]
+            ls = ls - np.log(np.exp(ls - ls.max()).sum()) - ls.max()
+            logps[i] = ls[list(support).index(cur)]
+            top[i] = support[np.argmax(ls)]
+        return logps, top
+
+    def check_state(self, state: TreeState) -> Tuple[TreeState, float, bool]:
+        """(reference: model_refine.py:175-249)"""
+        assigned = np.nonzero(state.wids >= 0)[0]
+        if len(assigned) * self.check_frac <= 1:
+            return state, 0.0, False
+        wids = state.wids.copy()
+        logps, top = self._node_logps(state, wids, assigned)
+        total = logps.sum()
+        order = np.argsort(logps)
+        n_check = int(len(assigned) * self.check_frac)
+        cand = [i for i in order[:n_check] if i < len(assigned) * 0.5]
+        for i in cand:
+            node = int(assigned[i])
+            if top[i] == wids[node]:
+                continue  # already the model's top pick
+            new_wids = wids.copy()
+            new_wids[node] = top[i]
+            new_logps, _ = self._node_logps(state, new_wids, assigned)
+            if new_logps.sum() > total:
+                perturbed = state.clone()
+                perturbed.wids = new_wids
+                if self.can_assemble is not None and not self.can_assemble(perturbed, node):
+                    continue
+                return perturbed, float(total - new_logps.sum()), True
+        return state, 0.0, False
+
+    def __call__(self, states: List[TreeState]) -> List[TreeState]:
+        """ARSampler refine_hook: perturb in place; perturbed trees keep
+        their (improved) state and still expand this round."""
+        out = []
+        for s in states:
+            new_s, dlogp, changed = self.check_state(s)
+            if changed:
+                new_s.logp += dlogp
+            out.append(new_s)
+        return out

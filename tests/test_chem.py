@@ -86,3 +86,26 @@ def test_bfs_order_from_edges():
     # parent appears before child
     assert order.index(2) < order.index(1)
     assert order.index(3) < order.index(4)
+
+
+def test_pocket_parser():
+    from hierdiff_tpu.chem.pocket import pocket_from_text, collate_pockets
+
+    pdb = "\n".join([
+        "ATOM      1  N   ALA A   1      10.000  10.000  10.000  1.00  0.00           N",
+        "ATOM      2  CA  ALA A   1      11.000  10.000  10.000  1.00  0.00           C",
+        "ATOM      3  CA  GLY A   2      50.000  50.000  50.000  1.00  0.00           C",
+        "ATOM      4  CB  TRP A   3      12.000  10.500  10.000  1.00  0.00           C",
+        "ATOM      5  CA  TRP A   3      12.500  11.000  10.000  1.00  0.00           C",
+    ])
+    ligand = np.array([[10.5, 10.0, 10.0]])
+    p = pocket_from_text(pdb, ligand, radius=6.0)
+    # ALA (atoms within 6A) and TRP in; GLY (40A away) out
+    assert p.residue_type == ["ALA", "TRP"]
+    assert p.coord.shape == (2, 3)
+    toks = p.residue_tokens()
+    assert toks[0] == 1 and toks[1] == 18  # ALA=0+1, TRP=17+1
+
+    batch = collate_pockets([p, pocket_from_text(pdb, np.array([[50.0, 50, 50]]))])
+    assert batch["protein_feat"].shape[0] == 2
+    assert batch["protein_feat_mask"][0].sum() == 2
