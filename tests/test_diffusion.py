@@ -138,3 +138,23 @@ def test_pocket_conditioned_loss_and_sampling():
         batch["protein_feat"], batch["protein_pos"] + 5.0, batch["protein_feat_mask"],
         batch["protein_edge_mask"])
     assert np.abs(np.asarray(x) - np.asarray(x2)).max() > 1e-4
+
+
+def test_elem_mode():
+    """node_coarse_type='elem': 3 integer feature dims, no continuous dims."""
+    model = CoarseDiffusion(in_node_nf=3, int_nf=3, cont_nf=0, timesteps=20,
+                            hidden_nf=32, n_layers=2, noise_schedule="polynomial_2")
+    counts = np.array([3, 5])
+    node_mask, edge_mask = make_masks_for_counts(counts, 5)
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "positions": jax.random.normal(key, (2, 5, 3)) * node_mask,
+        "node_feature": jax.random.normal(jax.random.PRNGKey(1), (2, 5, 3)) * node_mask,
+        "atom_mask": jnp.asarray(node_mask), "edge_mask": jnp.asarray(edge_mask),
+    }
+    params = model.init(jax.random.PRNGKey(2), batch, jax.random.PRNGKey(3), train=True)
+    out = model.apply(params, batch, jax.random.PRNGKey(4), train=True)
+    assert np.isfinite(float(out["loss"]))
+    x, h = sample_coarse(model, params, jax.random.PRNGKey(5),
+                         jnp.asarray(node_mask), jnp.asarray(edge_mask))
+    assert h.shape == (2, 5, 3) and np.all(np.isfinite(np.asarray(x)))

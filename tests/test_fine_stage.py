@@ -247,3 +247,34 @@ def test_ar_sampler_end_to_end(gen):
                     seen.add(j)
                     frontier.append(j)
         assert len(seen) == r.n
+
+
+def test_denoise_padding_independence(gen):
+    """Same trees padded to different buckets give identical losses."""
+    rng_a, rng_b = random.Random(7), random.Random(7)
+    trees = gen.sample_trees(3, n=6)
+    from hierdiff_tpu.data.denoise import make_denoise_batch
+    b8 = {k: jnp.asarray(v) for k, v in
+          make_denoise_batch(trees, rng_a, max_n=8, allow_native=False).items()}
+    b16 = {k: jnp.asarray(v) for k, v in
+           make_denoise_batch(trees, rng_b, max_n=16, allow_native=False).items()}
+    model = EdgeDenoise(hidden_nf=32, n_layers_full=2, n_layers_focal=2)
+    params = model.init(jax.random.PRNGKey(0), b8)
+    o8 = model.apply(params, b8)
+    o16 = model.apply(params, b16)
+    for k in ("total_loss", "focal_loss", "edge_loss", "node_loss"):
+        np.testing.assert_allclose(float(o8[k]), float(o16[k]), rtol=2e-3), k
+
+
+def test_vocab_conditioning_mode(gen):
+    """vocab_conditioning=True consumes real fragment ids (different loss)."""
+    rng = random.Random(0)
+    trees = gen.sample_trees(3, n=6)
+    batch = {k: jnp.asarray(v) for k, v in make_denoise_batch(trees, rng, max_n=8).items()}
+    m0 = EdgeDenoise(hidden_nf=32, n_layers_full=1, n_layers_focal=1)
+    m1 = EdgeDenoise(hidden_nf=32, n_layers_full=1, n_layers_focal=1,
+                     vocab_conditioning=True)
+    params = m0.init(jax.random.PRNGKey(0), batch)
+    l0 = float(m0.apply(params, batch)["total_loss"])
+    l1 = float(m1.apply(params, batch)["total_loss"])
+    assert np.isfinite(l0) and np.isfinite(l1) and abs(l0 - l1) > 1e-6
