@@ -1,80 +1,157 @@
-"""Benchmark: coarse-stage molecule sampling throughput on one TPU chip.
+"""Benchmark: molecule generation throughput on one TPU chip.
 
-Prints ONE JSON line:
+Default (driver mode) prints ONE JSON line for the headline metric —
+1000-step coarse EDM sampling at the driver baseline config (64 fragment
+point-sets, N<=12, hidden 256 / 6 layers):
+
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-
-Config mirrors the driver baseline ("Coarse EDM sampler: 64 fragment
-point-sets (<=12 nodes, 1000 steps)"): GEOM model size (hidden 256, 6 EGNN
-layers, learned gamma), full 1000-step reverse process as one lax.scan.
 
 vs_baseline divides by the measured reference throughput in
 BASELINE_MEASURED.json (1000 sequential torch EGNN forwards at the same
-config; scripts/measure_baseline.py) — reference hardware here is torch-CPU
+config; scripts/measure_baseline.py) — reference hardware there is torch-CPU
 since its GPU env is unavailable; see BASELINE.md for the caveat.
+
+Extra modes (one JSON line each):
+  python bench.py --stage fine       # AR beam-search assembly throughput
+  python bench.py --stage pipeline   # coarse + AR end-to-end
+  python bench.py --batch 256        # coarse at a different batch size
 """
 
+import argparse
 import json
-import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
 
-def main():
+def _baseline(key: str):
+    f = Path(__file__).parent / "BASELINE_MEASURED.json"
+    if f.exists():
+        return json.loads(f.read_text()).get(key, {}).get("molecules_per_sec")
+    return None
+
+
+def _emit(metric, value, unit, ref):
+    vs = round(value / ref, 2) if ref else 0.0
+    print(json.dumps({"metric": metric, "value": round(value, 3),
+                      "unit": unit, "vs_baseline": vs}))
+
+
+def make_models(coarse_kw=None, denoise_kw=None):
     import jax
     import jax.numpy as jnp
 
     from hierdiff_tpu.models import CoarseDiffusion
+    from hierdiff_tpu.models.edge_denoise import EdgeDenoise
+    from hierdiff_tpu.sampling import make_masks_for_counts
+
+    coarse = CoarseDiffusion(in_node_nf=8, timesteps=1000, hidden_nf=256,
+                             n_layers=6, inv_sublayers=2,
+                             noise_schedule="learned", **(coarse_kw or {}))
+    nm, em = make_masks_for_counts(np.array([6, 8]), 8)
+    cb = {"positions": jnp.zeros((2, 8, 3)), "node_feature": jnp.zeros((2, 8, 8)),
+          "atom_mask": jnp.asarray(nm), "edge_mask": jnp.asarray(em)}
+    cparams = jax.jit(lambda r, b, r2: coarse.init(r, b, r2, train=True))(
+        jax.random.PRNGKey(0), cb, jax.random.PRNGKey(1))
+    denoise = EdgeDenoise(**(denoise_kw or {}))
+    return coarse, cparams, denoise
+
+
+def bench_coarse(batch_size: int):
+    import jax
+    import jax.numpy as jnp
+
     from hierdiff_tpu.sampling import make_masks_for_counts, sample_coarse
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    coarse, cparams, _ = make_models()
     max_n = 12
-    timesteps = 1000
-
-    model = CoarseDiffusion(in_node_nf=8, timesteps=timesteps, hidden_nf=256,
-                            n_layers=6, inv_sublayers=2, noise_schedule="learned")
     rng = np.random.default_rng(0)
     counts = rng.integers(4, max_n + 1, size=batch_size)
     nm, em = make_masks_for_counts(counts, max_n)
     nm, em = jnp.asarray(nm), jnp.asarray(em)
 
-    # init params via a dummy batch
-    batch = {
-        "positions": jnp.zeros((batch_size, max_n, 3)) * nm,
-        "node_feature": jnp.zeros((batch_size, max_n, 8)) * nm,
-        "atom_mask": nm, "edge_mask": em,
-    }
-    params = model.init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1), train=True)
-
-    # warmup / compile (two calls: the axon tunnel can report the first
-    # post-compile call complete early; force host transfers when timing)
-    for i in range(2):
-        x, h = sample_coarse(model, params, jax.random.PRNGKey(2 + i), nm, em)
+    for i in range(2):  # compile + settle (the tunnel can report early)
+        x, h = sample_coarse(coarse, cparams, jax.random.PRNGKey(2 + i), nm, em)
         np.asarray(x)
-
     reps = 5
     t0 = time.perf_counter()
     for i in range(reps):
-        x, h = sample_coarse(model, params, jax.random.PRNGKey(10 + i), nm, em)
+        x, h = sample_coarse(coarse, cparams, jax.random.PRNGKey(10 + i), nm, em)
         np.asarray(x), np.asarray(h)
     dt = (time.perf_counter() - t0) / reps
-    mols_per_sec = batch_size / dt
+    _emit("coarse_sampling_molecules_per_sec_per_chip", batch_size / dt,
+          f"molecules/sec/chip (1000-step EDM, batch {batch_size}, N<={max_n})",
+          _baseline("ref_batch64_n12_T1000"))
 
-    base_file = Path(__file__).parent / "BASELINE_MEASURED.json"
-    vs_baseline = 0.0
-    if base_file.exists():
-        base = json.loads(base_file.read_text())
-        ref = base.get("ref_batch64_n12_T1000", {}).get("molecules_per_sec")
-        if ref:
-            vs_baseline = mols_per_sec / ref
 
-    print(json.dumps({
-        "metric": "coarse_sampling_molecules_per_sec_per_chip",
-        "value": round(mols_per_sec, 3),
-        "unit": f"molecules/sec/chip (1000-step EDM, batch {batch_size}, N<={max_n})",
-        "vs_baseline": round(vs_baseline, 2),
-    }))
+def bench_fine(n_molecules: int, beam: int):
+    import jax
+    import random
+
+    from hierdiff_tpu.data.denoise import make_denoise_batch
+    from hierdiff_tpu.data.synthetic import SyntheticTreeGenerator
+    from hierdiff_tpu.sampling.ar import ARSampler
+    import jax.numpy as jnp
+
+    _, _, denoise = make_models()
+    gen = SyntheticTreeGenerator(seed=0)
+    dummy = {k: jnp.asarray(v) for k, v in
+             make_denoise_batch(gen.sample_trees(2, n=8), random.Random(0), max_n=8).items()}
+    dparams = jax.jit(denoise.init)(jax.random.PRNGKey(2), dummy)
+    sampler = ARSampler(denoise, dparams, beam_size=beam)
+    blur = [{"x": t.pos, "h": np.concatenate([np.round(t.feats[:, :5]), t.feats[:, 5:]], 1)}
+            for t in gen.sample_trees(n_molecules)]
+    sampler.sample(blur)  # compile all touched buckets
+    t0 = time.perf_counter()
+    results = sampler.sample(blur)
+    dt = time.perf_counter() - t0
+    ok = sum(r is not None for r in results)
+    _emit("fine_assembly_trees_per_sec_per_chip", ok / dt,
+          f"trees/sec/chip (beam {beam}, {n_molecules} GEOM-size molecules)",
+          None)
+
+
+def bench_pipeline(n_molecules: int, beam: int):
+    import jax
+    import random
+    import jax.numpy as jnp
+
+    from hierdiff_tpu.data.assets import load_geom_histogram
+    from hierdiff_tpu.data.denoise import make_denoise_batch
+    from hierdiff_tpu.data.synthetic import SyntheticTreeGenerator
+    from hierdiff_tpu.sampling.pipeline import GenerationPipeline
+
+    coarse, cparams, denoise = make_models()
+    gen = SyntheticTreeGenerator(seed=0)
+    dummy = {k: jnp.asarray(v) for k, v in
+             make_denoise_batch(gen.sample_trees(2, n=8), random.Random(0), max_n=8).items()}
+    dparams = jax.jit(denoise.init)(jax.random.PRNGKey(2), dummy)
+    pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
+                              histogram=load_geom_histogram(), beam_size=beam)
+    pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False)  # compile
+    t0 = time.perf_counter()
+    result = pipe.run(jax.random.PRNGKey(4), n_molecules, reconstruct=False)
+    dt = time.perf_counter() - t0
+    ok = sum(t is not None for t in result.trees)
+    _emit("pipeline_molecules_per_sec_per_chip", ok / dt,
+          f"molecules/sec/chip (1000-step EDM + beam-{beam} AR, {n_molecules} molecules)",
+          None)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("batch", nargs="?", type=int, default=64)
+    p.add_argument("--stage", choices=["coarse", "fine", "pipeline"], default="coarse")
+    p.add_argument("--num", type=int, default=32)
+    p.add_argument("--beam", type=int, default=5)
+    args = p.parse_args()
+    if args.stage == "coarse":
+        bench_coarse(args.batch)
+    elif args.stage == "fine":
+        bench_fine(args.num, args.beam)
+    else:
+        bench_pipeline(args.num, args.beam)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from hierdiff_tpu.ops.egnn import torch_linear_init
 from hierdiff_tpu.ops.gcl import DenseEGCL, compute_parents, coord2radial_dense
 from hierdiff_tpu.ops.graph import bfs_depths, circle_mask, depth_layer_mask
 from hierdiff_tpu.ops.masked import NEG_INF, binary_cross_entropy, masked_cross_entropy, masked_log_softmax
@@ -58,10 +59,10 @@ class EdgeDenoise(nn.Module):
 
     def setup(self):
         h = self.hidden_nf
-        self.feature_embedding = nn.Dense(h)
+        self.feature_embedding = nn.Dense(h, kernel_init=torch_linear_init)
         self.vocab_embedding = nn.Embed(self.vocab_size, h)
-        self.edge_embedding = nn.Dense(h)
-        self.node_embedding = nn.Dense(h)
+        self.edge_embedding = nn.Dense(h, kernel_init=torch_linear_init)
+        self.node_embedding = nn.Dense(h, kernel_init=torch_linear_init)
         self.gcl_full = [
             DenseEGCL(h, edges_in_d=h, attention=True, tanh=True, coords_range=30.0,
                       coord_update=True, edge_update=True, gated=self.gated, name=f"gcl_full_{i}")
@@ -76,9 +77,9 @@ class EdgeDenoise(nn.Module):
                                   coord_update=True, edge_update=False, gated=self.gated, name="gcl_edge")
         self.gcl_denoise = DenseEGCL(h, edges_in_d=1, attention=False, tanh=True, coords_range=30.0,
                                      coord_update=True, edge_update=False, gated=self.gated, name="gcl_denoise")
-        self.focal_head = nn.Sequential([nn.Dense(h), nn.silu, nn.Dense(1), nn.sigmoid])
-        self.edge_head = nn.Sequential([nn.Dense(h), nn.silu, nn.Dense(1)])
-        self.node_head = nn.Sequential([nn.Dense(h), nn.silu, nn.Dense(self.out_node_nf)])
+        self.focal_head = nn.Sequential([nn.Dense(h, kernel_init=torch_linear_init), nn.silu, nn.Dense(1, kernel_init=torch_linear_init), nn.sigmoid])
+        self.edge_head = nn.Sequential([nn.Dense(h, kernel_init=torch_linear_init), nn.silu, nn.Dense(1, kernel_init=torch_linear_init)])
+        self.node_head = nn.Sequential([nn.Dense(h, kernel_init=torch_linear_init), nn.silu, nn.Dense(self.out_node_nf, kernel_init=torch_linear_init)])
 
     # --- shared trunk ------------------------------------------------------
 

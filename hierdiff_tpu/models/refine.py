@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from hierdiff_tpu.ops.egnn import torch_linear_init
 from hierdiff_tpu.ops.gcl import DenseEGCL, compute_parents, coord2radial_dense
 from hierdiff_tpu.ops.graph import bfs_depths, depth_layer_mask
 from hierdiff_tpu.ops.masked import masked_cross_entropy, masked_log_softmax
@@ -47,10 +48,12 @@ class NodeRefine(nn.Module):
     def setup(self):
         h = self.hidden_size
         self.v_embedding = nn.Embed(self.vocab_size + 1, h)
-        self.f_embedding = nn.Sequential([nn.Dense(h), nn.silu, nn.Dense(h)])
+        self.f_embedding = nn.Sequential([nn.Dense(h, kernel_init=torch_linear_init), nn.silu, nn.Dense(h, kernel_init=torch_linear_init)])
         self.size_embedding = nn.Embed(self.max_size, h)
         self.projection = nn.Sequential(
-            [nn.Dense(3 * h), nn.silu, nn.Dense(h), nn.silu, nn.Dense(h)])
+            [nn.Dense(3 * h, kernel_init=torch_linear_init), nn.silu,
+             nn.Dense(h, kernel_init=torch_linear_init), nn.silu,
+             nn.Dense(h, kernel_init=torch_linear_init)])
         mk = lambda name: [
             DenseEGCL(h, edges_in_d=1, attention=True, tanh=True, coords_range=30.0,
                       coord_update=True, edge_update=False, gated=self.gated,
@@ -60,7 +63,7 @@ class NodeRefine(nn.Module):
         self.gcl_collect = mk("gcl_collect")
         self.gcl_reverse = mk("gcl_reverse")
         self.gcl_back = mk("gcl_back")
-        self.output = nn.Sequential([nn.Dense(h), nn.silu, nn.Dense(self.vocab_size)])
+        self.output = nn.Sequential([nn.Dense(h, kernel_init=torch_linear_init), nn.silu, nn.Dense(self.vocab_size, kernel_init=torch_linear_init)])
 
     def _phase(self, phase_name: str, h, x, parent, depth, node_mask, ds, flip: bool):
         """nn.scan one directional phase over depth values ``ds`` (params

@@ -27,6 +27,13 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+# torch nn.Linear default init (kaiming_uniform(a=sqrt(5)) == uniform with
+# variance fan_in/3). The reference trained with this scale; hotter inits
+# (lecun_normal) push the fine-stage trunk into activation blow-up because
+# raw squared distances feed the edge MLPs (no normalization there).
+torch_linear_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
 def xavier_scaled_init(gain: float):
     """Xavier-uniform scaled by ``gain`` (for near-zero coordinate heads,
     reference: egnn_new.py:80-81)."""
@@ -64,12 +71,12 @@ class PairDense(nn.Module):
     @nn.compact
     def __call__(self, h: Array, e: Optional[Array]) -> Array:
         hdim = h.shape[-1]
-        w_src = self.param("w_src", nn.initializers.lecun_normal(), (hdim, self.features))
-        w_dst = self.param("w_dst", nn.initializers.lecun_normal(), (hdim, self.features))
+        w_src = self.param("w_src", torch_linear_init, (hdim, self.features))
+        w_dst = self.param("w_dst", torch_linear_init, (hdim, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         out = (h @ w_src)[:, :, None, :] + (h @ w_dst)[:, None, :, :] + b
         if e is not None:
-            w_e = self.param("w_e", nn.initializers.lecun_normal(), (e.shape[-1], self.features))
+            w_e = self.param("w_e", torch_linear_init, (e.shape[-1], self.features))
             out = out + e @ w_e
         return out
 
@@ -95,7 +102,7 @@ class DenseGCL(nn.Module):
 
     def _params(self, h_dim: int, e_dim: int):
         hnf = self.hidden_nf
-        init = nn.initializers.lecun_normal()
+        init = torch_linear_init
         zeros = nn.initializers.zeros
         p = {
             "edge_in": {
@@ -167,7 +174,7 @@ class DenseEquivariantUpdate(nn.Module):
 
     def _params(self, h_dim: int, e_dim: int):
         hnf = self.hidden_nf
-        init = nn.initializers.lecun_normal()
+        init = torch_linear_init
         zeros = nn.initializers.zeros
         return {
             "coord_in": {
@@ -277,7 +284,7 @@ class DenseEGNN(nn.Module):
     def __call__(self, h: Array, x: Array, node_mask: Array, edge_mask: Array):
         out_nf = self.out_node_nf if self.out_node_nf is not None else h.shape[-1]
         distances0, _ = coord2diff_dense(x, norm_constant=1.0)
-        h = nn.Dense(self.hidden_nf, name="embedding")(h)
+        h = nn.Dense(self.hidden_nf, kernel_init=torch_linear_init, name="embedding")(h)
         coords_range_layer = float(self.coords_range) / self.n_layers
         block_cls = DenseEquivariantBlock
         if self.remat:
@@ -295,5 +302,5 @@ class DenseEGNN(nn.Module):
                 use_pallas=self.use_pallas,
                 name=f"e_block_{i}",
             )(h, x, distances0, node_mask, edge_mask)
-        h = nn.Dense(out_nf, name="embedding_out")(h)
+        h = nn.Dense(out_nf, kernel_init=torch_linear_init, name="embedding_out")(h)
         return h * node_mask, x

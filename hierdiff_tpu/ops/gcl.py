@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from hierdiff_tpu.ops.egnn import xavier_scaled_init
+from hierdiff_tpu.ops.egnn import torch_linear_init, xavier_scaled_init
 
 Array = jax.Array
 
@@ -81,23 +81,23 @@ class DenseEGCL(nn.Module):
     def setup(self):
         h = self.hidden_nf
         # decomposed first message layer: cat([h_src, h_dst, radial, e]) @ W
-        self.mes_src = nn.Dense(h, name="mes_src")
-        self.mes_dst = nn.Dense(h, use_bias=False, name="mes_dst")
-        self.mes_rad = nn.Dense(h, use_bias=False, name="mes_rad")
+        self.mes_src = nn.Dense(h, kernel_init=torch_linear_init, name="mes_src")
+        self.mes_dst = nn.Dense(h, use_bias=False, kernel_init=torch_linear_init, name="mes_dst")
+        self.mes_rad = nn.Dense(h, use_bias=False, kernel_init=torch_linear_init, name="mes_rad")
         if self.edges_in_d > 0:
-            self.mes_e = nn.Dense(h, use_bias=False, name="mes_e")
-        self.mes_out = nn.Dense(h, name="mes_out")
+            self.mes_e = nn.Dense(h, use_bias=False, kernel_init=torch_linear_init, name="mes_e")
+        self.mes_out = nn.Dense(h, kernel_init=torch_linear_init, name="mes_out")
         if self.attention:
-            self.att = nn.Dense(1, name="att")
+            self.att = nn.Dense(1, kernel_init=torch_linear_init, name="att")
         if self.coord_update:
-            self.coord_in = nn.Dense(h, name="coord_in")
+            self.coord_in = nn.Dense(h, kernel_init=torch_linear_init, name="coord_in")
             self.coord_head = nn.Dense(1, use_bias=False,
                                        kernel_init=xavier_scaled_init(0.001), name="coord_head")
-        self.node_in = nn.Dense(h, name="node_in")
-        self.node_out = nn.Dense(h, name="node_out")
+        self.node_in = nn.Dense(h, kernel_init=torch_linear_init, name="node_in")
+        self.node_out = nn.Dense(h, kernel_init=torch_linear_init, name="node_out")
         if self.edge_update:
-            self.edge_in = nn.Dense(h, name="edge_in")
-            self.edge_out = nn.Dense(h, name="edge_out")
+            self.edge_in = nn.Dense(h, kernel_init=torch_linear_init, name="edge_in")
+            self.edge_out = nn.Dense(h, kernel_init=torch_linear_init, name="edge_out")
 
     # --- shared sub-computations (any aligned leading shape) ---------------
 

@@ -26,6 +26,25 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = DATA_A
     return Mesh(np.asarray(devices), (axis,))
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> Mesh:
+    """Multi-host (multi-slice over DCN) initialization + global data mesh.
+
+    On TPU pods the arguments are auto-detected from the environment; pass
+    them explicitly for CPU/GPU clusters. After this, ``jax.devices()``
+    spans all hosts and the returned mesh runs gradient all-reduce over
+    ICI within a slice and DCN across slices — the growth path the
+    reference delegated to PL DDP/NCCL (SURVEY §2.5).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return make_mesh()
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(axis))

@@ -103,12 +103,14 @@ def main(argv=None):
     train_it = map(_device_batch, raw_train)
     rng = jax.random.PRNGKey(cfg.train.seed)
 
-    # init from the first batch
+    # init from the first batch (jitted: unjitted flax init dispatches every
+    # op individually — minutes over a remote-TPU tunnel)
     first = next(train_it)
     if args.stage == "coarse":
-        params = model.init(rng, first, jax.random.PRNGKey(0), train=True)
+        params = jax.jit(lambda r, b, r2: model.init(r, b, r2, train=True))(
+            rng, first, jax.random.PRNGKey(0))
     else:
-        params = model.init(rng, first)
+        params = jax.jit(model.init)(rng, first)
 
     trainer = Trainer(cfg, loss_fn, params, monitor="loss")
     if trainer.try_resume():

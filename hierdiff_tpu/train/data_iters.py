@@ -40,8 +40,14 @@ def load_tree_pool(cfg: Config, seed: int = 0) -> List[SyntheticTree]:
 
 def _group_by_bucket(pool, buckets):
     groups: Dict[int, List] = {}
+    dropped = 0
     for t in pool:
+        if t.feats.shape[0] > max(buckets):
+            dropped += 1
+            continue
         groups.setdefault(bucket_for(t.feats.shape[0], buckets), []).append(t)
+    if dropped:
+        print(f"[data] dropped {dropped} trees larger than bucket {max(buckets)}")
     return groups
 
 
