@@ -129,9 +129,11 @@ def bench_pipeline(n_molecules: int, beam: int):
     dparams = jax.jit(denoise.init)(jax.random.PRNGKey(2), dummy)
     pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
                               histogram=load_geom_histogram(), beam_size=beam)
+    # same key for warmup and timing: molecule sizes (and thus the set of
+    # compiled buckets) must match or compiles leak into the timed region
     pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False)  # compile
     t0 = time.perf_counter()
-    result = pipe.run(jax.random.PRNGKey(4), n_molecules, reconstruct=False)
+    result = pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False)
     dt = time.perf_counter() - t0
     ok = sum(t is not None for t in result.trees)
     _emit("pipeline_molecules_per_sec_per_chip", ok / dt,

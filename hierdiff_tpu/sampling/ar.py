@@ -114,7 +114,23 @@ class ARSampler:
     # --- host beam bookkeeping ---------------------------------------------
 
     def _expand(self, states: List[TreeState]) -> List[TreeState]:
-        """One AR round: device step + top-k type beam expansion."""
+        """One AR round: device step(s) + top-k type beam expansion.
+
+        The fleet is split into at most TWO device calls — small vs large
+        molecules — and only when the bucket gap is >=2x: dense-MP cost is
+        quadratic in the bucket, so one oversized molecule would otherwise
+        drag the whole fleet into the largest bucket, but per-call dispatch
+        overhead makes fine-grained per-bucket splits a net loss."""
+        max_bucket = bucket_for(max(s.n for s in states))
+        small = [s for s in states if bucket_for(s.n) * 2 <= max_bucket]
+        large = [s for s in states if bucket_for(s.n) * 2 > max_bucket]
+        children: List[TreeState] = []
+        for grp in (small, large):
+            if grp:
+                children.extend(self._expand_group(grp))
+        return children
+
+    def _expand_group(self, states: List[TreeState]) -> List[TreeState]:
         out = self._batch_step(states)
         children: List[TreeState] = []
         for i, s in enumerate(states):
