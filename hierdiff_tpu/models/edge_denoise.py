@@ -56,6 +56,7 @@ class EdgeDenoise(nn.Module):
     vocab_conditioning: bool = False
     gated: bool = True
     max_depth: Optional[int] = None   # static scan length; None -> N
+    top_k: int = 16                   # type candidates returned by ar_step
 
     def setup(self):
         h = self.hidden_nf
@@ -304,6 +305,12 @@ class EdgeDenoise(nn.Module):
                                node_mask, self.max_depth or n)
         logits = self.node_logits(hn, target)
         logp = masked_log_softmax(logits, jnp.ones_like(logits))
+        # only the top-k candidates leave the device: the beam never needs
+        # more, and the full (B, V) table is the dominant host transfer on
+        # tunneled TPUs
+        k = min(self.top_k, logp.shape[-1])
+        top_logp, top_wid = jax.lax.top_k(logp, k)
 
-        return {"focal": focal, "target": target, "new_adj": new_adj,
-                "node_logp": logp, "did_attach": do_attach}
+        return {"focal": focal, "target": target,
+                "top_logp": top_logp, "top_wid": top_wid,
+                "did_attach": do_attach}

@@ -137,12 +137,14 @@ class ARSampler:
             focal = int(out["focal"][i])
             target = int(out["target"][i])
             attached = bool(out["did_attach"][i])
-            logp = out["node_logp"][i]  # (V,) log-probs over all 780 fragments
-            top = np.argsort(-logp)[: self.beam_size]
-            for wid in top:
+            top_wid = out["top_wid"][i][: self.beam_size]
+            top_logp = out["top_logp"][i][: self.beam_size]
+            for wid, lp in zip(top_wid, top_logp):
                 c = s.clone()
                 if attached:
-                    c.adj[: s.n, : s.n] = out["new_adj"][i, : s.n, : s.n]
+                    # host applies the new edge itself — cheaper than
+                    # shipping the (B, N, N) adjacency back every round
+                    c.adj[focal, target] = c.adj[target, focal] = 1.0
                     c.adj[0, 0] = max(c.adj[0, 0], 1.0)  # keep root marker
                     c.last_edge = (focal, target)
                 else:
@@ -151,7 +153,7 @@ class ARSampler:
                 c.wids[target] = int(wid)
                 # reference accumulates -log p as the priority
                 # (ar_sampling_nosize.py:180,203)
-                c.logp += float(-logp[wid])
+                c.logp += float(-lp)
                 if self.can_assemble is not None and attached:
                     if not self.can_assemble(c, focal):
                         continue
