@@ -67,3 +67,11 @@ def load_geom_histogram() -> Dict[int, int]:
     with open(ASSET_DIR / "geom_histogram.json") as f:
         raw = json.load(f)
     return {int(k): int(v) for k, v in raw.items()}
+
+
+@lru_cache(maxsize=None)
+def load_histogram(name: str = "geom") -> Dict[int, int]:
+    """Named fragment-count histogram: 'geom' | 'crossdock' | 'qm9'."""
+    with open(ASSET_DIR / f"{name}_histogram.json") as f:
+        raw = json.load(f)
+    return {int(k): int(v) for k, v in raw.items()}

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from hierdiff_tpu.models.dynamics import EGNNDynamics
-from hierdiff_tpu.ops import schedules
 from hierdiff_tpu.ops.losses import gaussian_kl, gaussian_kl_for_dimension
 from hierdiff_tpu.ops.masked import (
     cdf_standard_gaussian,

@@ -35,8 +35,8 @@ import jax.numpy as jnp
 
 from hierdiff_tpu.ops.egnn import torch_linear_init
 from hierdiff_tpu.ops.gcl import DenseEGCL, compute_parents, coord2radial_dense
-from hierdiff_tpu.ops.graph import bfs_depths, circle_mask, depth_layer_mask
-from hierdiff_tpu.ops.masked import NEG_INF, binary_cross_entropy, masked_cross_entropy, masked_log_softmax
+from hierdiff_tpu.ops.graph import bfs_depths, depth_layer_mask
+from hierdiff_tpu.ops.masked import binary_cross_entropy, masked_cross_entropy, masked_log_softmax
 
 Array = jax.Array
 

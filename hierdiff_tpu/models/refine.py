@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from hierdiff_tpu.ops.egnn import torch_linear_init
-from hierdiff_tpu.ops.gcl import DenseEGCL, compute_parents, coord2radial_dense
-from hierdiff_tpu.ops.graph import bfs_depths, depth_layer_mask
+from hierdiff_tpu.ops.gcl import DenseEGCL, compute_parents
+from hierdiff_tpu.ops.graph import bfs_depths
 from hierdiff_tpu.ops.masked import masked_cross_entropy, masked_log_softmax
 
 Array = jax.Array

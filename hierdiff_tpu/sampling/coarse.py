@@ -19,7 +19,6 @@ import numpy as np
 
 from hierdiff_tpu.models.diffusion import CoarseDiffusion
 from hierdiff_tpu.ops.masked import remove_mean_with_mask, sample_combined_noise
-from hierdiff_tpu.ops.schedules import inflate
 
 Array = jax.Array
 

@@ -40,10 +40,12 @@ json.dump({
 hist = yaml.safe_load(open(ref / "endiffusion/conf/analyze/GEOM.yaml"))
 json.dump({str(k): int(v) for k, v in hist.items()}, open(out / "geom_histogram.json", "w"))
 
-# crossdock histogram too, if present
-cd = ref / "endiffusion/conf/analyze/crossdock.yaml"
-if cd.exists():
-    hist = yaml.safe_load(open(cd))
-    json.dump({str(k): int(v) for k, v in hist.items()}, open(out / "crossdock_histogram.json", "w"))
+# crossdock + QM9 histograms too, if present
+for name in ("crossdock", "QM9"):
+    f = ref / f"endiffusion/conf/analyze/{name}.yaml"
+    if f.exists():
+        hist = yaml.safe_load(open(f))
+        json.dump({str(k): int(v) for k, v in hist.items()},
+                  open(out / f"{name.lower()}_histogram.json", "w"))
 
 print("assets written to", out)
