@@ -76,6 +76,11 @@ class GenerationPipeline:
         rng_np = np.random.default_rng(int(jax.random.randint(rng_key, (), 0, 2**31 - 1)))
         blur = self.sample_blur(jax.random.fold_in(rng_key, 1), n_molecules, rng_np=rng_np)
         trees = self.sampler.sample(blur)
+        # end-of-search repair of non-assemblable fragments
+        # (reference: model_refine.py:252-299 check_final_tree)
+        hook = self.sampler.refine_hook
+        if hook is not None and hasattr(hook, "finalize"):
+            trees = [hook.finalize(t) if t is not None else None for t in trees]
         result = PipelineResult(blur=blur, trees=trees)
         if reconstruct and HAS_RDKIT and self.vocab is not None:
             from hierdiff_tpu.chem.reconstruct import reconstruct_batch

@@ -133,6 +133,54 @@ class RefineHook:
                 return perturbed, float(total - new_logps.sum()), True
         return state, 0.0, False
 
+    def finalize(self, state: TreeState, check_num: int = 10) -> Optional[TreeState]:
+        """End-of-search repair: fix non-assemblable nodes by swapping to
+        higher-probability same-size fragments; give up when more than 20%
+        of nodes are broken or any stays unfixable.
+        (reference: model_refine.py:252-299 check_final_tree)
+
+        Requires a ``can_assemble(state, node)`` gate (RDKit); without one
+        the tree is returned unchanged.
+        """
+        if self.can_assemble is None:
+            return state
+        n = state.n
+        broken = [i for i in range(n) if not self.can_assemble(state, i)]
+        if not broken:
+            return state
+        if len(broken) > 0.2 * n:
+            return None
+        wids = state.wids.copy()
+        assigned = np.arange(n)
+        logps, _ = self._node_logps(state, wids, assigned)
+        total = logps.sum()
+        fixed = 0
+        for node in broken:
+            jobs = [(state, wids, int(node))]
+            logits = self._score_nodes(jobs)[0]
+            support = self._support(int(self.vocab_sizes[int(wids[node])]))
+            order = support[np.argsort(-logits[support])][:check_num]
+            for wid in order:
+                if wid == wids[node]:
+                    continue
+                new_wids = wids.copy()
+                new_wids[node] = wid
+                cand = state.clone()
+                cand.wids = new_wids
+                if not self.can_assemble(cand, node):
+                    continue
+                new_logps, _ = self._node_logps(state, new_wids, assigned)
+                if new_logps.sum() > total:
+                    wids = new_wids
+                    total = new_logps.sum()
+                    fixed += 1
+                    break
+        if fixed == len(broken):
+            out = state.clone()
+            out.wids = wids
+            return out
+        return None
+
     def __call__(self, states: List[TreeState]) -> List[TreeState]:
         """ARSampler refine_hook: perturb in place; perturbed trees keep
         their (improved) state and still expand this round."""

@@ -276,3 +276,48 @@ def test_vocab_conditioning_mode(gen):
     l0 = float(m0.apply(params, batch)["total_loss"])
     l1 = float(m1.apply(params, batch)["total_loss"])
     assert np.isfinite(l0) and np.isfinite(l1) and abs(l0 - l1) > 1e-6
+
+
+def test_refine_hook_and_finalize(gen):
+    """RefineHook: batched check_state + finalize repair semantics."""
+    from hierdiff_tpu.data.refine import make_refine_batch
+    from hierdiff_tpu.sampling.refine_hook import RefineHook
+    from hierdiff_tpu.sampling.ar import TreeState
+    from hierdiff_tpu.models.refine import NodeRefine
+    from hierdiff_tpu.data.assets import load_vocab_fps, load_vocab_smiles
+
+    model = NodeRefine(hidden_size=32, n_layers=1)
+    trees = gen.sample_trees(2, n=6)
+    batch = {k: jnp.asarray(v) for k, v in make_refine_batch(trees, random.Random(0), max_n=8).items()}
+    params = model.init(jax.random.PRNGKey(0), batch)
+    vocab_sizes = np.array([int(round(load_vocab_fps()[s][3])) for s in load_vocab_smiles()])
+    hook = RefineHook(model, params, vocab_sizes, check_frac=0.5)
+
+    t = trees[0]
+    adj = t.adj.astype(np.float32).copy()
+    adj[0, 0] = 1.0
+    state = TreeState(t.feats.astype(np.float32), t.pos.astype(np.float32),
+                      adj, t.wids.astype(np.int64))
+    new_state, dlogp, changed = hook.check_state(state)
+    assert isinstance(changed, bool)
+    assert np.isfinite(dlogp)
+    # hook as a fleet callable keeps list shape
+    out = hook([state, state.clone()])
+    assert len(out) == 2
+
+    # finalize: no can_assemble gate -> identity
+    assert hook.finalize(state) is state
+
+    # finalize with a gate that breaks one node, fixable by any swap
+    calls = {"n": 0}
+    def gate(s, node):
+        calls["n"] += 1
+        # node 0 with its original wid is "broken"; anything else fine
+        return not (node == 0 and s.wids[0] == t.wids[0])
+    hook2 = RefineHook(model, params, vocab_sizes, can_assemble=gate)
+    fixed = hook2.finalize(state, check_num=30)
+    if fixed is not None:
+        assert fixed.wids[0] != t.wids[0]
+    # a mostly-broken tree is rejected
+    hook3 = RefineHook(model, params, vocab_sizes, can_assemble=lambda s, n_: False)
+    assert hook3.finalize(state) is None
