@@ -158,3 +158,18 @@ def test_elem_mode():
     x, h = sample_coarse(model, params, jax.random.PRNGKey(5),
                          jnp.asarray(node_mask), jnp.asarray(edge_mask))
     assert h.shape == (2, 5, 3) and np.all(np.isfinite(np.asarray(x)))
+
+
+def test_sampling_determinism():
+    """Same rng key -> bit-identical samples (scan + fold_in RNG discipline)."""
+    model = tiny_model(timesteps=20)
+    batch = tiny_batch(jax.random.PRNGKey(0))
+    params = model.init(jax.random.PRNGKey(1), batch, jax.random.PRNGKey(2), train=True)
+    counts = np.array([3, 5, 6, 4])
+    nm, em = make_masks_for_counts(counts, 6)
+    x1, h1 = sample_coarse(model, params, jax.random.PRNGKey(9), jnp.asarray(nm), jnp.asarray(em))
+    x2, h2 = sample_coarse(model, params, jax.random.PRNGKey(9), jnp.asarray(nm), jnp.asarray(em))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    x3, _ = sample_coarse(model, params, jax.random.PRNGKey(10), jnp.asarray(nm), jnp.asarray(em))
+    assert np.abs(np.asarray(x1) - np.asarray(x3)).max() > 1e-6
