@@ -12,13 +12,20 @@ config; scripts/measure_baseline.py) — reference hardware there is torch-CPU
 since its GPU env is unavailable; see BASELINE.md for the caveat.
 
 Extra modes (one JSON line each):
-  python bench.py --stage fine       # AR beam-search assembly throughput
-  python bench.py --stage pipeline   # coarse + AR end-to-end
-  python bench.py --batch 256        # coarse at a different batch size
+  python bench.py --stage coarse --max-n 48        # GEOM-realistic bucket
+  python bench.py --stage coarse --max-n 96 --pallas
+  python bench.py --stage fine                     # lattice AR assembly
+  python bench.py --stage pipeline                 # coarse + AR end-to-end
+  python bench.py --batch 256                      # coarse, other batch
+
+The coarse mode also reports achieved TFLOP/s and MFU (XLA compiled-cost
+FLOPs / wall clock / peak; peak defaults to 197 TFLOP/s bf16 for v5e —
+override with BENCH_PEAK_TFLOPS).
 """
 
 import argparse
 import json
+import os
 import time
 from pathlib import Path
 
@@ -32,10 +39,12 @@ def _baseline(key: str):
     return None
 
 
-def _emit(metric, value, unit, ref):
+def _emit(metric, value, unit, ref, **extra):
     vs = round(value / ref, 2) if ref else 0.0
-    print(json.dumps({"metric": metric, "value": round(value, 3),
-                      "unit": unit, "vs_baseline": vs}))
+    rec = {"metric": metric, "value": round(value, 3), "unit": unit,
+           "vs_baseline": vs}
+    rec.update(extra)
+    print(json.dumps(rec))
 
 
 def make_models(coarse_kw=None, denoise_kw=None):
@@ -58,40 +67,60 @@ def make_models(coarse_kw=None, denoise_kw=None):
     return coarse, cparams, denoise
 
 
-def bench_coarse(batch_size: int):
+def _flops_of(fn, *args):
+    """Total FLOPs of a jitted call from XLA's compiled cost analysis."""
+    try:
+        import jax
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) if ca else 0.0
+    except Exception:
+        return 0.0
+
+
+def bench_coarse(batch_size: int, max_n: int = 12, use_pallas: bool = False):
     import jax
     import jax.numpy as jnp
 
     from hierdiff_tpu.sampling import make_masks_for_counts, sample_coarse
 
-    coarse, cparams, _ = make_models()
-    max_n = 12
+    coarse, cparams, _ = make_models(coarse_kw={"use_pallas": use_pallas})
     rng = np.random.default_rng(0)
-    counts = rng.integers(4, max_n + 1, size=batch_size)
+    lo = max(4, max_n - 8)
+    counts = rng.integers(lo, max_n + 1, size=batch_size)
     nm, em = make_masks_for_counts(counts, max_n)
     nm, em = jnp.asarray(nm), jnp.asarray(em)
 
     for i in range(2):  # compile + settle (the tunnel can report early)
         x, h = sample_coarse(coarse, cparams, jax.random.PRNGKey(2 + i), nm, em)
         np.asarray(x)
+    flops = _flops_of(
+        lambda r: sample_coarse(coarse, cparams, r, nm, em), jax.random.PRNGKey(0))
     reps = 5
     t0 = time.perf_counter()
     for i in range(reps):
         x, h = sample_coarse(coarse, cparams, jax.random.PRNGKey(10 + i), nm, em)
         np.asarray(x), np.asarray(h)
     dt = (time.perf_counter() - t0) / reps
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+    tflops = flops / dt / 1e12 if flops else 0.0
+    mfu = flops / dt / peak if flops else 0.0
+    ref = _baseline("ref_batch64_n12_T1000") if max_n == 12 else None
+    kernel = "pallas" if use_pallas else "xla"
     _emit("coarse_sampling_molecules_per_sec_per_chip", batch_size / dt,
-          f"molecules/sec/chip (1000-step EDM, batch {batch_size}, N<={max_n})",
-          _baseline("ref_batch64_n12_T1000"))
+          f"molecules/sec/chip (1000-step EDM, batch {batch_size}, N<={max_n}, {kernel})",
+          ref, tflops=round(tflops, 2), mfu=round(mfu, 4))
 
 
-def bench_fine(n_molecules: int, beam: int):
+def bench_fine(n_molecules: int, beam: int, max_n: int = 12):
     import jax
     import random
 
     from hierdiff_tpu.data.denoise import make_denoise_batch
     from hierdiff_tpu.data.synthetic import SyntheticTreeGenerator
-    from hierdiff_tpu.sampling.ar import ARSampler
+    from hierdiff_tpu.sampling.lattice import LatticeSampler
     import jax.numpy as jnp
 
     _, _, denoise = make_models()
@@ -99,16 +128,16 @@ def bench_fine(n_molecules: int, beam: int):
     dummy = {k: jnp.asarray(v) for k, v in
              make_denoise_batch(gen.sample_trees(2, n=8), random.Random(0), max_n=8).items()}
     dparams = jax.jit(denoise.init)(jax.random.PRNGKey(2), dummy)
-    sampler = ARSampler(denoise, dparams, beam_size=beam)
+    sampler = LatticeSampler(denoise, dparams, beam_size=beam)
     blur = [{"x": t.pos, "h": np.concatenate([np.round(t.feats[:, :5]), t.feats[:, 5:]], 1)}
-            for t in gen.sample_trees(n_molecules)]
+            for t in gen.sample_trees(n_molecules, n=max_n)]
     sampler.sample(blur)  # compile all touched buckets
     t0 = time.perf_counter()
     results = sampler.sample(blur)
     dt = time.perf_counter() - t0
     ok = sum(r is not None for r in results)
     _emit("fine_assembly_trees_per_sec_per_chip", ok / dt,
-          f"trees/sec/chip (beam {beam}, {n_molecules} GEOM-size molecules)",
+          f"trees/sec/chip (lattice AR, beam {beam}, {n_molecules} molecules, N={max_n})",
           None)
 
 
@@ -137,7 +166,7 @@ def bench_pipeline(n_molecules: int, beam: int):
     dt = time.perf_counter() - t0
     ok = sum(t is not None for t in result.trees)
     _emit("pipeline_molecules_per_sec_per_chip", ok / dt,
-          f"molecules/sec/chip (1000-step EDM + beam-{beam} AR, {n_molecules} molecules)",
+          f"molecules/sec/chip (1000-step EDM + beam-{beam} lattice AR, {n_molecules} molecules)",
           None)
 
 
@@ -147,11 +176,13 @@ def main():
     p.add_argument("--stage", choices=["coarse", "fine", "pipeline"], default="coarse")
     p.add_argument("--num", type=int, default=32)
     p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--max-n", type=int, default=12)
+    p.add_argument("--pallas", action="store_true")
     args = p.parse_args()
     if args.stage == "coarse":
-        bench_coarse(args.batch)
+        bench_coarse(args.batch, max_n=args.max_n, use_pallas=args.pallas)
     elif args.stage == "fine":
-        bench_fine(args.num, args.beam)
+        bench_fine(args.num, args.beam, max_n=args.max_n)
     else:
         bench_pipeline(args.num, args.beam)
 

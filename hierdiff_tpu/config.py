@@ -44,6 +44,7 @@ class CoarseModelConfig:
     condition_time: bool = True
     context_node_nf: int = 0
     remat: bool = False
+    use_pallas: bool = False             # fused EGNN inference kernels (ops/egnn_pallas.py)
 
     @property
     def in_node_nf(self) -> int:

@@ -119,28 +119,39 @@ class EdgeDenoise(nn.Module):
         """Depth-sequential MP toward ``target``: circle layer first, then
         BFS layers deepest-first, each a masked dense pass inside nn.scan
         (params broadcast over depth steps).
+
+        Iteration k applies each sample's layer at depth ``maxdepth_i - k``:
+        the reference's concat_edges aligns per-sample deepest-first layer
+        LISTS by position, not by absolute depth (dataset_denoise.py:396-410)
+        — a shallow sample's single layer runs in the same iteration as a
+        deep sample's deepest. Per-sample results are identical either way
+        when ``gated=True``; the alignment matters for the reference-exact
+        ``gated=False`` mode where every iteration updates every node.
         (reference: edge_denoise.py:151-156, 196-200)
         """
         b, n = adj.shape[:2]
         depth = bfs_depths(adj, target_onehot)
         parent = compute_parents(adj, depth)
+        maxd = jnp.max(depth, axis=1)                       # (B,) per-sample
         self_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
         node0 = (jnp.arange(n)[None, :] == 0) & jnp.ones((b, 1), bool)
 
-        def step(mdl, carry, d):
+        def step(mdl, carry, k):
             h, x = carry
-            circle = d == 0
-            active = jnp.where(circle, node0, depth == d)
+            circle = k < 0
+            d = maxd - k                                    # (B,)
+            active = jnp.where(circle, node0,
+                               (depth == d[:, None]) & (d[:, None] >= 1))
             par = jnp.where(circle, self_idx, parent)
             h, x = getattr(mdl, layer_name).tree_pass(h, x, par, active, node_mask)
             return (h, x), ()
 
         # reference order: circle first, then deepest -> shallowest
-        ds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.arange(n_steps - 1, 0, -1, dtype=jnp.int32)])
+        ks = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                              jnp.arange(0, n_steps - 1, dtype=jnp.int32)])
         scan = nn.scan(step, variable_broadcast="params", split_rngs={"params": False},
                        in_axes=0, out_axes=0)
-        (h, x), _ = scan(self, (h, x), ds)
+        (h, x), _ = scan(self, (h, x), ks)
         return h, x
 
     # --- heads -------------------------------------------------------------
@@ -246,36 +257,35 @@ class EdgeDenoise(nn.Module):
 
     # --- autoregressive sampling step --------------------------------------
 
-    def ar_step(self, feats: Array, discovered: Array, vocab_idx: Array,
-                pos: Array, adj: Array, node_mask: Array) -> Dict[str, Array]:
-        """One batched AR expansion, fully on device.
+    def _expand_core(self, feats: Array, disc_flag: Array, vocab_idx: Array,
+                     pos: Array, adj_clean: Array, node_mask: Array,
+                     allowed_bucket: Optional[Array] = None,
+                     allowed_table: Optional[Array] = None):
+        """One AR expansion on K padded tree states (shared by ``ar_step``
+        and ``ar_lattice``): focal argmax over discovered nodes, attach-edge
+        argmax over undiscovered nodes, top-k vocab candidates for the new
+        node's type. (reference: edge_denoise.py:250-419 sample_AR)
 
-        Given K padded tree states, predict for each: the focal node, the
-        undiscovered node to attach, the new adjacency, and the vocab logits
-        for the new node's type. The reference's host-side BFS/program
-        building per step (edge_denoise.py:250-419) is replaced by on-device
-        BFS, so the whole step is one jitted call.
+        disc_flag (B,N) 0/1: node is discovered (assigned / root-marked).
+        allowed_bucket (B,N) int32 + allowed_table (K,V): per-node vocab
+        support restriction gathered at the predicted node — the on-device
+        equivalent of the size variant's restricted softmax
+        (ar_sampling.py:62-118 node_array_predict + restricted LogSoftmax).
 
-        adj may carry the root marker self-loop at (0,0) (set by the beam
-        driver after the first step, cf. ar_sampling_nosize.py:196-202);
-        discovery is derived from row sums before stripping the diagonal.
+        Returns (outputs dict, new_adj, new_disc).
         """
         b, n = feats.shape[:2]
         edge_mask_fc = (1.0 - jnp.eye(n))[None] * (node_mask[:, :, 0, None] * node_mask[:, :, None, 0])
 
-        deg = jnp.sum(adj, axis=-1)                           # incl. diagonal marker
-        is_disc = (deg > 0) & (node_mask[:, :, 0] > 0)
-        is_undisc = (deg == 0) & (node_mask[:, :, 0] > 0)
-        eye = jnp.eye(n)[None]
-        adj_clean = adj * (1.0 - eye)                         # strip diagonal
+        is_disc = (disc_flag > 0) & (node_mask[:, :, 0] > 0)
+        is_undisc = (disc_flag == 0) & (node_mask[:, :, 0] > 0)
         val = jnp.sum(adj_clean, axis=-1)
 
-        h = self.embed_nodes(feats, discovered, vocab_idx) * node_mask
+        h = self.embed_nodes(feats, disc_flag.astype(jnp.int32), vocab_idx) * node_mask
         x = pos
         h, x, ef_full = self.full_mp(h, x, adj_clean, node_mask, edge_mask_fc)
 
         any_disc = jnp.any(is_disc, axis=1)
-        has_real_edges = jnp.sum(adj_clean, axis=(1, 2)) > 0
 
         # focal: argmax sigmoid score over discovered (reference: :300-323)
         hf, xf = self.focal_mp(h, x, ef_full, adj_clean, node_mask)
@@ -298,19 +308,96 @@ class EdgeDenoise(nn.Module):
         att = focal_onehot[:, :, None] * (jnp.arange(n)[None, None, :] == target[:, None, None])
         att = att * do_attach[:, None, None]
         new_adj = jnp.clip(adj_clean + att + jnp.transpose(att, (0, 2, 1)), 0, 1)
+        new_disc = jnp.clip(disc_flag + (jnp.arange(n)[None, :] == target[:, None]), 0, 1)
 
         # node type: depth MP toward the new node over the updated graph
         t_onehot = (jnp.arange(n)[None, :] == target[:, None]).astype(jnp.float32)
         hn, xn = self.depth_mp("gcl_denoise", he, xe, new_adj, t_onehot,
                                node_mask, self.max_depth or n)
         logits = self.node_logits(hn, target)
-        logp = masked_log_softmax(logits, jnp.ones_like(logits))
+        if allowed_bucket is not None and allowed_table is not None:
+            # restricted + renormalized softmax over the predicted node's
+            # support set (ar_sampling.py:158-159 LogSoftmax over array_inds)
+            bkt = jnp.take_along_axis(allowed_bucket, target[:, None], axis=1)[:, 0]
+            support = allowed_table[bkt]                      # (B, V)
+        else:
+            support = jnp.ones_like(logits)
+        logp = masked_log_softmax(logits, support)
         # only the top-k candidates leave the device: the beam never needs
-        # more, and the full (B, V) table is the dominant host transfer on
-        # tunneled TPUs
+        # more (the reference itself expands only the top beam_size types,
+        # ar_sampling_nosize.py:159), and the full (B, V) table is the
+        # dominant host transfer on tunneled TPUs
         k = min(self.top_k, logp.shape[-1])
         top_logp, top_wid = jax.lax.top_k(logp, k)
 
-        return {"focal": focal, "target": target,
-                "top_logp": top_logp, "top_wid": top_wid,
-                "did_attach": do_attach}
+        out = {"focal": focal, "target": target,
+               "top_logp": top_logp, "top_wid": top_wid,
+               "did_attach": do_attach}
+        return out, new_adj, new_disc
+
+    def ar_step(self, feats: Array, discovered: Array, vocab_idx: Array,
+                pos: Array, adj: Array, node_mask: Array,
+                allowed_bucket: Optional[Array] = None,
+                allowed_table: Optional[Array] = None) -> Dict[str, Array]:
+        """One batched AR expansion, fully on device.
+
+        Given K padded tree states, predict for each: the focal node, the
+        undiscovered node to attach, the new adjacency, and the top-k vocab
+        candidates for the new node's type. The reference's host-side
+        BFS/program building per step (edge_denoise.py:250-419) is replaced
+        by on-device BFS, so the whole step is one jitted call.
+
+        adj may carry the root marker self-loop at (0,0) (set by the beam
+        driver after the first step, cf. ar_sampling_nosize.py:196-202);
+        discovery is derived from row sums before stripping the diagonal.
+        """
+        n = feats.shape[1]
+        deg = jnp.sum(adj, axis=-1)                           # incl. diagonal marker
+        disc_flag = (deg > 0).astype(jnp.int32)
+        adj_clean = adj * (1.0 - jnp.eye(n)[None])            # strip diagonal
+        out, _, _ = self._expand_core(feats, disc_flag, vocab_idx, pos, adj_clean,
+                                      node_mask, allowed_bucket, allowed_table)
+        return out
+
+    def ar_lattice(self, feats: Array, pos: Array, node_mask: Array,
+                   allowed_bucket: Optional[Array] = None,
+                   allowed_table: Optional[Array] = None) -> Dict[str, Array]:
+        """ALL N expansion steps of the AR assembly as ONE ``lax.scan``.
+
+        Key observation making this valid: with ``vocab_conditioning=False``
+        (the reference's live config — it embeds the 0/1 discovered flag, not
+        the fragment id, edge_denoise.py:88) and blur features kept on newly
+        typed nodes (ar_sampling_nosize.py:168 keeps ``n.fp`` from the blur
+        node), the focal/edge decisions — and hence the whole tree-growth
+        trajectory — do NOT depend on which fragment types the beam chose.
+        Every beam candidate of a molecule shares one topology trajectory;
+        only the type logps differ, and those are emitted per step. So the
+        device computes the full expansion lattice in one call and the beam
+        search (priority queue, assembly gates, backtracking) runs on host
+        at zero device cost. This replaces one host<->device round trip per
+        beam expansion (28-60 ms on a tunneled TPU) with a single call per
+        size bucket.
+
+        Returns per-step stacked outputs, each (B, N_steps, ...):
+        focal, target, did_attach, top_logp (B,S,K), top_wid (B,S,K).
+        """
+        assert not self.vocab_conditioning, (
+            "ar_lattice requires the trajectory to be type-independent; "
+            "use the round-based ar_step path with vocab_conditioning=True")
+        b, n = feats.shape[:2]
+
+        def step(mdl, carry, _):
+            adj, disc = carry
+            # vocab ids never influence the embed in this mode; pass the
+            # discovered flag (what embed_nodes consumes anyway)
+            out, new_adj, new_disc = mdl._expand_core(
+                feats, disc, disc, pos, adj, node_mask,
+                allowed_bucket, allowed_table)
+            return (new_adj, new_disc), out
+
+        scan = nn.scan(step, variable_broadcast="params", split_rngs={"params": False},
+                       in_axes=0, out_axes=0)
+        init = (jnp.zeros((b, n, n), feats.dtype), jnp.zeros((b, n), jnp.int32))
+        _, outs = scan(self, init, jnp.arange(n))
+        # (S, B, ...) -> (B, S, ...)
+        return {k: jnp.moveaxis(v, 0, 1) for k, v in outs.items()}

@@ -19,6 +19,7 @@ import argparse
 import json
 import pickle
 from pathlib import Path
+from typing import Optional
 
 import jax
 import numpy as np
@@ -38,11 +39,14 @@ def load_checkpoint_params(workdir: str):
     return {"params": params["params"] if "params" in params else params}, cfg, step
 
 
-def build_coarse_from_cfg(cfg: dict):
+def build_coarse_from_cfg(cfg: dict, use_pallas: Optional[bool] = None):
     from hierdiff_tpu.models.diffusion import CoarseDiffusion
 
     m = cfg["coarse"]
+    if use_pallas is None:
+        use_pallas = bool(m.get("use_pallas", False))
     return CoarseDiffusion(
+        use_pallas=use_pallas,
         in_node_nf=8 if m["node_coarse_type"] == "prop" else 3,
         timesteps=m["timesteps"], loss_type=m["loss_type"],
         noise_schedule=m["noise_schedule"], noise_precision=m["noise_precision"],
@@ -80,7 +84,7 @@ def cmd_coarse(args):
     from hierdiff_tpu.sampling.coarse import make_masks_for_counts, sample_coarse
 
     params, cfg, step = load_checkpoint_params(args.workdir)
-    model = build_coarse_from_cfg(cfg)
+    model = build_coarse_from_cfg(cfg, use_pallas=args.pallas or None)
     print(f"loaded coarse checkpoint @ step {step}")
 
     dist = DistributionNodes(load_geom_histogram())
@@ -108,10 +112,16 @@ def cmd_generate(args):
     from hierdiff_tpu.sampling.pipeline import GenerationPipeline
 
     cparams, ccfg, cstep = load_checkpoint_params(args.workdir)
-    coarse = build_coarse_from_cfg(ccfg)
+    coarse = build_coarse_from_cfg(ccfg, use_pallas=args.pallas or None)
     dparams, dcfg, dstep = load_checkpoint_params(args.denoise_workdir)
     denoise = build_denoise_from_cfg(dcfg)
     print(f"coarse @ {cstep}, denoise @ {dstep}")
+
+    mesh = None
+    if args.data_parallel and jax.device_count() > 1:
+        from hierdiff_tpu.parallel import make_mesh
+        mesh = make_mesh(jax.devices())
+        print(f"data-parallel over {jax.device_count()} devices")
 
     refine_hook = None
     if args.refine_workdir:
@@ -132,7 +142,8 @@ def cmd_generate(args):
     pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
                               histogram=load_geom_histogram(),
                               beam_size=args.beam, refine_hook=refine_hook,
-                              vocab=vocab, max_n_cap=args.max_nodes or None)
+                              vocab=vocab, max_n_cap=args.max_nodes or None,
+                              mesh=mesh)
     result = pipe.run(jax.random.PRNGKey(args.seed), args.num,
                       reconstruct=HAS_RDKIT, n_workers=args.workers)
     ok = [t for t in result.trees if t is not None]
@@ -161,6 +172,8 @@ def main(argv=None):
     pc.add_argument("--batch-size", type=int, default=64)
     pc.add_argument("--max-nodes", type=int, default=0)
     pc.add_argument("--seed", type=int, default=2022)
+    pc.add_argument("--pallas", action="store_true",
+                    help="fused Pallas EGNN kernels for the sampling scan")
     pc.add_argument("--out", default="sample_results.pkl")
     pc.set_defaults(fn=cmd_coarse)
 
@@ -173,6 +186,9 @@ def main(argv=None):
     pg.add_argument("--max-nodes", type=int, default=0)
     pg.add_argument("--workers", type=int, default=0)
     pg.add_argument("--seed", type=int, default=2022)
+    pg.add_argument("--pallas", action="store_true")
+    pg.add_argument("--data-parallel", action=argparse.BooleanOptionalAction,
+                    default=True, help="shard generation over all devices")
     pg.add_argument("--out", default="generated.pkl")
     pg.set_defaults(fn=cmd_generate)
 

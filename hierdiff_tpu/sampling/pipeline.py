@@ -25,8 +25,10 @@ from hierdiff_tpu.chem import HAS_RDKIT
 from hierdiff_tpu.models.diffusion import CoarseDiffusion
 from hierdiff_tpu.models.edge_denoise import EdgeDenoise
 from hierdiff_tpu.ops.distributions import DistributionNodes
-from hierdiff_tpu.sampling.ar import ARSampler, TreeState
+from hierdiff_tpu.sampling.ar import ARSampler
+from hierdiff_tpu.sampling.beam import TreeState
 from hierdiff_tpu.sampling.coarse import make_masks_for_counts, sample_coarse
+from hierdiff_tpu.sampling.lattice import LatticeSampler
 
 
 @dataclasses.dataclass
@@ -42,39 +44,84 @@ class GenerationPipeline:
                  denoise_model: EdgeDenoise, denoise_params,
                  histogram: Dict[int, int], beam_size: int = 5,
                  int_nf: int = 5, refine_hook=None, can_assemble=None,
-                 vocab=None, max_n_cap: Optional[int] = None):
+                 vocab=None, max_n_cap: Optional[int] = None,
+                 allowed_fn=None, mesh=None):
         self.coarse_model = coarse_model
+        if mesh is not None:
+            # replicate params up front so repeated sharded calls don't
+            # re-broadcast from a single device
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            coarse_params = jax.device_put(coarse_params, repl)
+            denoise_params = jax.device_put(denoise_params, repl)
         self.coarse_params = coarse_params
         self.nodes_dist = DistributionNodes(histogram)
-        self.sampler = ARSampler(denoise_model, denoise_params, beam_size=beam_size,
-                                 can_assemble=can_assemble, refine_hook=refine_hook)
+        if denoise_model.vocab_conditioning:
+            # type choices feed back into the trajectory: round-based path
+            self.sampler = ARSampler(denoise_model, denoise_params,
+                                     beam_size=beam_size, can_assemble=can_assemble,
+                                     refine_hook=refine_hook, allowed_fn=allowed_fn)
+        else:
+            self.sampler = LatticeSampler(denoise_model, denoise_params,
+                                          beam_size=beam_size, can_assemble=can_assemble,
+                                          refine_hook=refine_hook, allowed_fn=allowed_fn,
+                                          mesh=mesh)
         self.int_nf = int_nf
         self.vocab = vocab
         self.max_n_cap = max_n_cap
+        self.mesh = mesh
 
     def sample_blur(self, rng_key, n_molecules: int, max_n: Optional[int] = None,
-                    rng_np: Optional[np.random.Generator] = None) -> List[Dict[str, np.ndarray]]:
-        """Stage 1: coarse point clouds (sizes from the histogram prior)."""
+                    rng_np: Optional[np.random.Generator] = None,
+                    batch_size: Optional[int] = None) -> List[Dict[str, np.ndarray]]:
+        """Stage 1: coarse point clouds (sizes from the histogram prior).
+
+        Scales to 10k+ molecules: sizes are sorted so each chunk pads to the
+        smallest bucket (dense-EGNN cost is quadratic in the pad), chunks run
+        at a fixed batch size (one compile per (batch, bucket)), and with a
+        ``mesh`` the batch is sharded over the data axis — the jitted scan
+        then runs data-parallel across all chips with zero collectives (the
+        reverse diffusion of distinct molecules is embarrassingly parallel).
+        """
+        from hierdiff_tpu.data.collate import bucket_for
+
         rng_np = rng_np or np.random.default_rng(0)
         counts = self.nodes_dist.sample_np(rng_np, n_molecules)
         if self.max_n_cap:
             counts = np.minimum(counts, self.max_n_cap)
-        nm, em = make_masks_for_counts(counts, max_n)
-        x, h = sample_coarse(self.coarse_model, self.coarse_params, rng_key,
-                             nm, em)
-        x, h = np.asarray(x), np.asarray(h)
-        out = []
-        for i, c in enumerate(counts):
-            hi = h[i, :c]
-            # round integer blur dims at hand-off (ar_sampling_nosize.py:388)
-            hi = np.concatenate([np.round(hi[:, : self.int_nf]), hi[:, self.int_nf:]], axis=1)
-            out.append({"x": x[i, :c], "h": hi})
-        return out
+        if max_n is not None:
+            counts = np.minimum(counts, max_n)
+        bs = batch_size or (64 if self.mesh is None else 64 * self.mesh.devices.size)
+        order = np.argsort(counts, kind="stable")          # small sizes first
+        out: List[Optional[Dict[str, np.ndarray]]] = [None] * n_molecules
+        for c0 in range(0, n_molecules, bs):
+            chunk = order[c0: c0 + bs]
+            ck = counts[chunk]
+            pad_b = len(chunk) if self.mesh is None else bs   # fixed shape on mesh
+            nb = bucket_for(int(ck.max()))
+            ck_pad = np.concatenate([ck, np.ones(pad_b - len(chunk), ck.dtype)])
+            nm, em = make_masks_for_counts(ck_pad, nb)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                data = NamedSharding(self.mesh, P("data"))
+                nm = jax.device_put(nm, data)
+                em = jax.device_put(em, data)
+            x, h = sample_coarse(self.coarse_model, self.coarse_params,
+                                 jax.random.fold_in(rng_key, c0), nm, em)
+            x, h = np.asarray(x), np.asarray(h)
+            for row, i in enumerate(chunk):
+                c = int(counts[i])
+                hi = h[row, :c]
+                # round integer blur dims at hand-off (ar_sampling_nosize.py:388)
+                hi = np.concatenate([np.round(hi[:, : self.int_nf]), hi[:, self.int_nf:]], axis=1)
+                out[i] = {"x": x[row, :c], "h": hi}
+        return out  # type: ignore[return-value]
 
     def run(self, rng_key, n_molecules: int, reconstruct: bool = True,
-            n_workers: int = 0) -> PipelineResult:
+            n_workers: int = 0, batch_size: Optional[int] = None) -> PipelineResult:
         rng_np = np.random.default_rng(int(jax.random.randint(rng_key, (), 0, 2**31 - 1)))
-        blur = self.sample_blur(jax.random.fold_in(rng_key, 1), n_molecules, rng_np=rng_np)
+        blur = self.sample_blur(jax.random.fold_in(rng_key, 1), n_molecules,
+                                rng_np=rng_np, batch_size=batch_size)
         trees = self.sampler.sample(blur)
         # end-of-search repair of non-assemblable fragments
         # (reference: model_refine.py:252-299 check_final_tree)

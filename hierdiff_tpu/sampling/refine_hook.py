@@ -14,7 +14,7 @@ call with bucketed shapes, vs the reference's per-tree per-node loops.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -90,10 +90,10 @@ class RefineHook:
                               jnp.asarray(nmask), jnp.asarray(pad_idx), jnp.asarray(val))
         return np.asarray(logits)
 
-    def _node_logps(self, state: TreeState, wids: np.ndarray, nodes: np.ndarray):
-        """Size-restricted logp of the current wid + top-1 proposal per node."""
-        jobs = [(state, wids, int(n)) for n in nodes]
-        logits = self._score_nodes(jobs)
+    def _logps_from_logits(self, wids: np.ndarray, nodes: Sequence[int],
+                           logits: np.ndarray):
+        """Size-restricted logp of the current wid + top-1 proposal per node.
+        logits: (len(nodes), V) rows already scored for (wids, node) pairs."""
         logps = np.zeros(len(nodes))
         top = np.zeros(len(nodes), np.int64)
         for i, n in enumerate(nodes):
@@ -107,31 +107,82 @@ class RefineHook:
             top[i] = support[np.argmax(ls)]
         return logps, top
 
+    def _node_logps(self, state: TreeState, wids: np.ndarray, nodes: np.ndarray):
+        jobs = [(state, wids, int(n)) for n in nodes]
+        return self._logps_from_logits(wids, nodes, self._score_nodes(jobs))
+
     def check_state(self, state: TreeState) -> Tuple[TreeState, float, bool]:
         """(reference: model_refine.py:175-249)"""
-        assigned = np.nonzero(state.wids >= 0)[0]
-        if len(assigned) * self.check_frac <= 1:
-            return state, 0.0, False
-        wids = state.wids.copy()
-        logps, top = self._node_logps(state, wids, assigned)
-        total = logps.sum()
-        order = np.argsort(logps)
-        n_check = int(len(assigned) * self.check_frac)
-        cand = [i for i in order[:n_check] if i < len(assigned) * 0.5]
-        for i in cand:
-            node = int(assigned[i])
-            if top[i] == wids[node]:
-                continue  # already the model's top pick
-            new_wids = wids.copy()
-            new_wids[node] = top[i]
-            new_logps, _ = self._node_logps(state, new_wids, assigned)
-            if new_logps.sum() > total:
-                perturbed = state.clone()
-                perturbed.wids = new_wids
-                if self.can_assemble is not None and not self.can_assemble(perturbed, node):
-                    continue
-                return perturbed, float(total - new_logps.sum()), True
-        return state, 0.0, False
+        return self.check_batch([state])[0]
+
+    def check_batch(self, states: List[TreeState]) -> List[Tuple[TreeState, float, bool]]:
+        """Batched check_tree across a fleet of beam candidates.
+
+        Device traffic: ONE ``check_logits`` call scores every (state,
+        assigned-node) pair, then one call per swap-attempt round evaluates
+        the pending candidate swap of every still-active state — instead of
+        the reference's per-tree per-node loops (model_refine.py:175-249)
+        and round 1's one call per attempted swap.
+        """
+        results: List[Tuple[TreeState, float, bool]] = [(s, 0.0, False) for s in states]
+        # pass 1: score all assigned nodes of all actionable states
+        meta = []          # (state_idx, assigned array)
+        jobs = []
+        for si, s in enumerate(states):
+            assigned = np.nonzero(s.wids >= 0)[0]
+            if len(assigned) * self.check_frac <= 1:
+                continue
+            meta.append((si, assigned, len(jobs)))
+            jobs.extend((s, s.wids, int(n)) for n in assigned)
+        if not jobs:
+            return results
+        logits = self._score_nodes(jobs)
+
+        # per state: candidate swap list (lowest-logp first, front half only)
+        pending = []       # (si, assigned, wids, total, [(pos_in_assigned, new_wid)])
+        for si, assigned, off in meta:
+            s = states[si]
+            wids = s.wids.copy()
+            logps, top = self._logps_from_logits(
+                wids, assigned, logits[off: off + len(assigned)])
+            total = logps.sum()
+            order = np.argsort(logps)
+            n_check = int(len(assigned) * self.check_frac)
+            cand = [(int(i), int(top[i])) for i in order[:n_check]
+                    if i < len(assigned) * 0.5 and top[i] != wids[assigned[i]]]
+            if cand:
+                pending.append([si, assigned, wids, total, cand])
+
+        # swap-attempt rounds: evaluate the first pending candidate of every
+        # active state in one batched call
+        while pending:
+            jobs = []
+            spans = []
+            for si, assigned, wids, total, cand in pending:
+                pos, new_wid = cand[0]
+                new_wids = wids.copy()
+                new_wids[int(assigned[pos])] = new_wid
+                spans.append((len(jobs), new_wids))
+                jobs.extend((states[si], new_wids, int(n)) for n in assigned)
+            logits = self._score_nodes(jobs)
+            nxt = []
+            for (si, assigned, wids, total, cand), (off, new_wids) in zip(pending, spans):
+                pos, new_wid = cand.pop(0)
+                node = int(assigned[pos])
+                new_logps, _ = self._logps_from_logits(
+                    new_wids, assigned, logits[off: off + len(assigned)])
+                ok = new_logps.sum() > total
+                if ok:
+                    perturbed = states[si].clone()
+                    perturbed.wids = new_wids
+                    if self.can_assemble is not None and not self.can_assemble(perturbed, node):
+                        ok = False
+                    else:
+                        results[si] = (perturbed, float(total - new_logps.sum()), True)
+                if not ok and cand:
+                    nxt.append([si, assigned, wids, total, cand])
+            pending = nxt
+        return results
 
     def finalize(self, state: TreeState, check_num: int = 10) -> Optional[TreeState]:
         """End-of-search repair: fix non-assemblable nodes by swapping to

@@ -39,7 +39,7 @@ def build_coarse(cfg):
         attention=m.attention, tanh=m.tanh, coords_range=m.coords_range,
         norm_constant=m.norm_constant, normalization_factor=m.normalization_factor,
         aggregation_method=m.aggregation_method, condition_time=m.condition_time,
-        context_node_nf=m.context_node_nf, remat=m.remat)
+        context_node_nf=m.context_node_nf, remat=m.remat, use_pallas=m.use_pallas)
 
     def loss_fn(params, batch, rng):
         out = model.apply(params, batch, rng, train=True)

@@ -1,0 +1,255 @@
+"""Beam-search semantics (sampling/beam.py) + lattice sampler (sampling/lattice.py).
+
+The PQ tests drive the search with handcrafted expanders (no device) and pin
+the reference behaviors rebuilt from generation/ar_sampling_nosize.py:
+backtracking to older partials, per-candidate and final assembly gates, the
+beam_size prune, and refine-hook requeue semantics. The lattice tests prove
+the one-device-call path is equivalent to the round-based device path.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hierdiff_tpu.data.denoise import make_denoise_batch
+from hierdiff_tpu.data.synthetic import SyntheticTreeGenerator
+from hierdiff_tpu.models.edge_denoise import EdgeDenoise
+from hierdiff_tpu.sampling.ar import ARSampler
+from hierdiff_tpu.sampling.beam import Expansion, PQBeamSearch, TreeState
+from hierdiff_tpu.sampling.lattice import LatticeSampler
+
+
+# --- handcrafted-expander PQ tests -----------------------------------------
+
+
+def make_state(n=3, index=0):
+    return TreeState(feats=np.zeros((n, 8), np.float32),
+                     pos=np.zeros((n, 3), np.float32),
+                     adj=np.zeros((n, n), np.float32),
+                     wids=np.full(n, -1, np.int64), index=index)
+
+
+class ChainExpander:
+    """Fixed topology: step t types node t, attaching t-1 -> t. Candidate
+    types/logps per step are supplied as arrays."""
+
+    def __init__(self, cand_wids, cand_logps):
+        self.cand_wids = [np.asarray(c) for c in cand_wids]
+        self.cand_logps = [np.asarray(c, np.float64) for c in cand_logps]
+        self.n_expansions = 0
+
+    def __call__(self, states):
+        out = []
+        for s in states:
+            t = s.n_assigned
+            self.n_expansions += 1
+            out.append(Expansion(focal=t - 1, target=t, attach=t > 0,
+                                 cand_wids=self.cand_wids[t],
+                                 cand_logps=self.cand_logps[t]))
+        return out
+
+
+def test_pq_greedy_completion():
+    exp = ChainExpander(
+        cand_wids=[[10, 11], [20, 21], [30, 31]],
+        cand_logps=[[-0.1, -2.0], [-0.2, -1.5], [-0.3, -3.0]])
+    search = PQBeamSearch(exp, beam_size=2, rng=random.Random(0))
+    (res,) = search.run([make_state(3)])
+    assert res is not None and list(res.wids) == [10, 20, 30]
+    # chain adjacency with cleared root marker
+    assert res.adj[0, 1] == 1 and res.adj[1, 2] == 1 and res.adj[0, 0] == 0
+    assert res.logp == pytest.approx(0.6, abs=1e-6)
+
+
+def test_pq_backtracks_to_older_partial():
+    """The greedy branch dies at the last step; the search must back-track
+    to the cheaper sibling pushed two rounds earlier
+    (ar_sampling_nosize.py:284-296)."""
+    exp = ChainExpander(
+        cand_wids=[[10, 11], [20, 21], [30, 31]],
+        cand_logps=[[-0.1, -0.5], [-0.2, -0.4], [-0.3, -0.6]])
+
+    def gate(state, node):
+        # any completed assignment that started from wid 10 is unassemblable
+        if state.wids[0] == 10 and state.n_assigned == 3:
+            return False
+        return True
+
+    search = PQBeamSearch(exp, beam_size=2, can_assemble=gate,
+                          rng=random.Random(0))
+    (res,) = search.run([make_state(3)])
+    assert res is not None
+    assert res.wids[0] == 11  # backtracked to the step-0 sibling
+
+
+def test_pq_final_gate_retry_and_reference_mode():
+    """A completed tree failing the all-nodes gate: reference mode gives up,
+    retry mode keeps searching (ar_sampling_nosize.py:396-403)."""
+    def make():
+        return ChainExpander(
+            cand_wids=[[10, 11], [20, 21]],
+            cand_logps=[[-0.1, -0.5], [-0.2, -0.4]])
+
+    def gate(state, node):
+        # the per-candidate gate checks the FOCAL node (0 here) and passes;
+        # only the final all-nodes sweep reaches node 1 and rejects the
+        # greedy root type
+        if node != 1:
+            return True
+        return state.wids[0] != 10
+
+    search = PQBeamSearch(make(), beam_size=2, can_assemble=gate,
+                          retry_final_gate=True, rng=random.Random(0))
+    (res,) = search.run([make_state(2)])
+    assert res is not None and res.wids[0] == 11
+
+    search = PQBeamSearch(make(), beam_size=2, can_assemble=gate,
+                          retry_final_gate=False, rng=random.Random(0))
+    (res,) = search.run([make_state(2)])
+    assert res is None           # reference behavior: molecule yields nothing
+
+
+def test_pq_beam_prune_keeps_top_k():
+    """Only beam_size children are pushed per expansion (remove_queue_dup)."""
+    exp = ChainExpander(
+        cand_wids=[[1, 2, 3, 4, 5], [7, 8, 9, 10, 11]],
+        cand_logps=[[-0.1, -0.2, -0.3, -0.4, -0.5]] * 2)
+    search = PQBeamSearch(exp, beam_size=2, rng=random.Random(0))
+    (res,) = search.run([make_state(2)])
+    assert res is not None
+    # every expansion pushes at most beam_size of its 5 candidates
+    assert search._push_count <= 1 + 2 * exp.n_expansions
+
+
+def test_pq_budget_exhaustion_returns_none():
+    exp = ChainExpander(cand_wids=[[1], [2]], cand_logps=[[-0.1], [-0.2]])
+    gate = lambda s, n: not s.done or False   # final gate always fails
+    search = PQBeamSearch(exp, beam_size=1, can_assemble=lambda s, n: not s.done,
+                          retry_final_gate=True, max_expansions_factor=2,
+                          rng=random.Random(0))
+    (res,) = search.run([make_state(2)])
+    assert res is None
+
+
+class RequeueHook:
+    """Fake refine hook: perturbs each state exactly once (marker wid)."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def check_batch(self, states):
+        out = []
+        for s in states:
+            self.calls += 1
+            if s.n_assigned == 1 and s.wids[0] == 10:
+                p = s.clone()
+                p.wids[0] = 99
+                out.append((p, -0.05, True))
+            else:
+                out.append((s, 0.0, False))
+        return out
+
+
+def test_pq_refine_requeues_without_expansion():
+    """Refined trees are re-queued and NOT expanded that round
+    (ar_sampling_nosize.py:138-143)."""
+    exp = ChainExpander(cand_wids=[[10], [20]], cand_logps=[[-0.1], [-0.2]])
+    hook = RequeueHook()
+    search = PQBeamSearch(exp, beam_size=1, refine_hook=hook, rng=random.Random(0))
+    (res,) = search.run([make_state(2)])
+    assert res is not None
+    assert res.wids[0] == 99     # the perturbation survived to the result
+    assert hook.calls >= 2       # re-queued state was checked again
+
+
+def test_pq_multi_molecule_independence():
+    exp = ChainExpander(cand_wids=[[10, 11], [20, 21]],
+                        cand_logps=[[-0.1, -0.5], [-0.2, -0.4]])
+    states = [make_state(2, index=0), make_state(2, index=1)]
+    search = PQBeamSearch(exp, beam_size=2, rng=random.Random(0))
+    res = search.run(states)
+    assert all(r is not None for r in res)
+    assert [r.index for r in res] == [0, 1]
+
+
+# --- lattice sampler ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fine_model():
+    gen = SyntheticTreeGenerator(seed=0)
+    model = EdgeDenoise(hidden_nf=32, n_layers_full=2, n_layers_focal=2)
+    trees = gen.sample_trees(2, n=5)
+    dummy = {k: jnp.asarray(v) for k, v in
+             make_denoise_batch(trees, random.Random(0), max_n=8).items()}
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    return gen, model, params
+
+
+def test_ar_lattice_trajectory_shape(fine_model):
+    gen, model, params = fine_model
+    b, n = 2, 5
+    trees = gen.sample_trees(b, n=n)
+    feats = jnp.asarray(np.stack([t.feats for t in trees]))
+    pos = jnp.asarray(np.stack([t.pos for t in trees]))
+    nmask = jnp.ones((b, n, 1))
+    out = jax.jit(lambda f, p, m: model.apply(params, f, p, m,
+                                              method=EdgeDenoise.ar_lattice))(feats, pos, nmask)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    assert out["focal"].shape == (b, n)
+    assert out["top_wid"].shape == (b, n, 16)
+    # step 0 is the root-typing step
+    assert np.all(out["focal"][:, 0] == -1)
+    assert np.all(out["target"][:, 0] == 0)
+    assert not np.any(out["did_attach"][:, 0])
+    # steps 1..n-1 all attach and each step types a NEW node
+    assert np.all(out["did_attach"][:, 1:])
+    for i in range(b):
+        assert len(set(out["target"][i])) == n, "each node typed exactly once"
+    # logps sorted descending and proper
+    assert np.all(np.diff(out["top_logp"], axis=-1) <= 1e-6)
+    assert np.all(out["top_logp"] <= 0)
+
+
+def test_lattice_matches_round_based_sampler(fine_model):
+    """One-device-call lattice path == per-round device path, same search."""
+    gen, model, params = fine_model
+    blur = [{"x": t.pos, "h": t.feats} for t in gen.sample_trees(3, n=5)]
+    res_round = ARSampler(model, params, beam_size=3,
+                          rng=random.Random(2022)).sample(blur)
+    res_lat = LatticeSampler(model, params, beam_size=3,
+                             rng=random.Random(2022)).sample(blur)
+    for a, b in zip(res_round, res_lat):
+        assert a is not None and b is not None
+        np.testing.assert_array_equal(a.wids, b.wids)
+        np.testing.assert_array_equal(a.adj, b.adj)
+        assert a.logp == pytest.approx(b.logp, rel=1e-5)
+
+
+def test_lattice_allowed_fn_restricts_support(fine_model):
+    """allowed_fn limits every node's type choices (ar_sampling.py:62-118)."""
+    gen, model, params = fine_model
+    blur = [{"x": t.pos, "h": t.feats} for t in gen.sample_trees(2, n=5)]
+    allowed = [5, 17, 101]
+
+    sampler = LatticeSampler(model, params, beam_size=3,
+                             allowed_fn=lambda feats: [allowed] * feats.shape[0])
+    res = sampler.sample(blur)
+    for r in res:
+        assert r is not None
+        assert set(r.wids.tolist()) <= set(allowed)
+
+
+def test_lattice_mixed_sizes_and_buckets(fine_model):
+    gen, model, params = fine_model
+    blur = ([{"x": t.pos, "h": t.feats} for t in gen.sample_trees(2, n=5)]
+            + [{"x": t.pos, "h": t.feats} for t in gen.sample_trees(1, n=11)])
+    res = LatticeSampler(model, params, beam_size=2).sample(blur)
+    assert [r.n for r in res] == [5, 5, 11]
+    for r in res:
+        adj = r.adj.copy()
+        np.fill_diagonal(adj, 0)
+        assert adj.sum() == 2 * (r.n - 1)
