@@ -204,27 +204,47 @@ class TreeReconstructor:
         return None
 
 
+# module-level worker state: multiprocessing pickles the function by
+# qualified name, so the worker must be importable (a local closure raises
+# PicklingError with n_workers>1); the reconstructor is rebuilt once per
+# worker process via the initializer instead of being shipped per task
+_WORKER_REC = None
+
+
+def _pool_init(vocab):
+    global _WORKER_REC
+    _WORKER_REC = TreeReconstructor(vocab)
+
+
+def _pool_one(tree):
+    try:
+        return _WORKER_REC.reconstruct(tree)
+    except Exception:
+        return None
+
+
 def reconstruct_batch(trees, vocab, n_workers: int = 0):
-    """Reconstruct many trees, optionally with a process pool; returns
-    (results, stats) where results are (mol, amap, smiles) tuples and stats
-    mirrors the reference's printed validity/uniqueness/avg-atoms
-    (generation/reconstruct.py:101-104)."""
+    """Reconstruct many trees, optionally with a process pool (the RDKit
+    assembly is GIL-bound C++, cf. the reference's pathos pool,
+    ar_sampling_nosize.py:13,273); returns (results, stats) where results
+    are (mol, amap, smiles) tuples and stats mirrors the reference's printed
+    validity/uniqueness/avg-atoms (generation/reconstruct.py:101-104)."""
     require_rdkit("tree reconstruction")
     from rdkit import Chem
 
-    rec = TreeReconstructor(vocab)
-
-    def one(tree):
-        try:
-            return rec.reconstruct(tree)
-        except Exception:
-            return None
-
     if n_workers > 1:
         import multiprocessing as mp
-        with mp.Pool(n_workers) as pool:
-            outputs = pool.map(one, trees)
+        with mp.Pool(n_workers, initializer=_pool_init, initargs=(vocab,)) as pool:
+            outputs = pool.map(_pool_one, trees)
     else:
+        rec = TreeReconstructor(vocab)
+
+        def one(tree):
+            try:
+                return rec.reconstruct(tree)
+            except Exception:
+                return None
+
         outputs = [one(t) for t in trees]
 
     results, smiles = [], []

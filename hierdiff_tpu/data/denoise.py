@@ -28,11 +28,13 @@ def find_array_bucket(feat: np.ndarray, arrays: List[np.ndarray]) -> int:
 
 
 def make_denoise_example(tree, rng: random.Random, vocab_size: int = 780,
-                         use_array_dict: bool = False) -> Dict[str, np.ndarray]:
+                         use_array_dict: bool = False,
+                         sampling: Optional[int] = None) -> Dict[str, np.ndarray]:
     """One AR training step for one tree. ``tree`` needs .feats (n,8),
-    .pos (n,3), .adj (n,n), .wids (n,)."""
+    .pos (n,3), .adj (n,n), .wids (n,). ``sampling`` pins the DFS step
+    (deterministic tests / reference parity)."""
     n = tree.adj.shape[0]
-    undiscovered, search_ind, last_ind = dfs_bidirection(tree.adj, rng)
+    undiscovered, search_ind, last_ind = dfs_bidirection(tree.adj, rng, sampling=sampling)
     org, search = make_search_adjacencies(tree.adj, undiscovered, search_ind, last_ind)
 
     # nodes with >=1 discovered edge (dataset_denoise.py:134)

@@ -234,13 +234,19 @@ class CoarseDiffusion(nn.Module):
 
     def compute_loss(self, rng: Array, x: Array, h: Array, node_mask: Array,
                      edge_mask: Array, context: Optional[Array], t0_always: bool,
-                     train: bool, mol_shape: Optional[int] = None) -> Tuple[Array, Dict[str, Array]]:
+                     train: bool, mol_shape: Optional[int] = None,
+                     t_int: Optional[Array] = None, eps: Optional[Array] = None,
+                     eps0: Optional[Array] = None) -> Tuple[Array, Dict[str, Array]]:
         """VLB / l2 estimator; ``mol_shape`` freezes the pocket tail.
+        ``t_int``/``eps``/``eps0`` override the internal sampling
+        (deterministic tests, reference golden parity).
         (reference: diffusion_qm9.py:530-673)"""
         b = x.shape[0]
         rng_t, rng_eps, rng_eps0 = jax.random.split(rng, 3)
         lowest_t = 1 if t0_always else 0
-        t_int = jax.random.randint(rng_t, (b, 1), lowest_t, self.timesteps + 1).astype(jnp.float32)
+        if t_int is None:
+            t_int = jax.random.randint(rng_t, (b, 1), lowest_t, self.timesteps + 1)
+        t_int = t_int.astype(jnp.float32)
         s_int = t_int - 1
         t_is_zero = (t_int == 0).astype(jnp.float32)
         s = s_int / self.timesteps
@@ -260,7 +266,8 @@ class CoarseDiffusion(nn.Module):
         alpha_t = inflate(alpha_from_gamma(gamma_t), x.ndim)
         sigma_t = inflate(sigma_from_gamma(gamma_t), x.ndim)
 
-        eps = sample_combined_noise(rng_eps, node_mask, self.n_dims, self.in_node_nf)
+        if eps is None:
+            eps = sample_combined_noise(rng_eps, node_mask, self.n_dims, self.in_node_nf)
         xh = jnp.concatenate([x, h], axis=2)
         z_t = alpha_t * xh + sigma_t * eps
 
@@ -294,7 +301,8 @@ class CoarseDiffusion(nn.Module):
             gamma_0 = self.gamma_of(t_zeros)
             alpha_0 = inflate(alpha_from_gamma(gamma_0), x.ndim)
             sigma_0 = inflate(sigma_from_gamma(gamma_0), x.ndim)
-            eps_0 = sample_combined_noise(rng_eps0, node_mask, self.n_dims, self.in_node_nf)
+            eps_0 = eps0 if eps0 is not None else sample_combined_noise(
+                rng_eps0, node_mask, self.n_dims, self.in_node_nf)
             z_0 = alpha_0 * xh + sigma_0 * eps_0
             z0_in = jnp.concatenate([z_0, xh_fix], axis=1) if x_fix is not None else z_0
             net_out0 = self.phi(z0_in, t_zeros, full_node_mask, full_edge_mask,

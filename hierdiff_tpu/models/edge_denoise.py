@@ -23,6 +23,15 @@ Reference quirk reproduced on purpose: the channel the reference feeds its
 collator fills with the discovered indicator, dataset_denoise.py:197-204).
 ``vocab_conditioning=True`` switches to embedding the actual fragment ids —
 the apparent intent — but the default matches the reference's behavior.
+
+Reference BUG fixed on purpose: the reference's focal-loss gate calls
+``split_edges(edge_search_flat, ...)`` (edge_denoise.py:124-126) with the
+[rows_tensor, cols_tensor] flat format while split_edges (:500-505) iterates
+edge PAIRS — so ``edges_weight`` is nonzero only for the sample owning the
+first flat edge, and the focal BCE is summed over (usually) sample 0 of each
+batch only. We apply the focal BCE to every sample that has discovered
+edges, which is the evident intent; tests/test_reference_parity_full.py
+pins both behaviors.
 """
 
 from __future__ import annotations
@@ -56,6 +65,11 @@ class EdgeDenoise(nn.Module):
     vocab_conditioning: bool = False
     gated: bool = True
     max_depth: Optional[int] = None   # static scan length; None -> N
+    # node-pass scan length: the reference runs ONE MORE iteration than the
+    # edge pass (edge_denoise.py:227 range(max_depth+1) vs :151 range(max_depth)
+    # — the pad graph is one BFS layer deeper). Only observable with
+    # gated=False; None -> max_depth (or N).
+    max_depth_node: Optional[int] = None
     top_k: int = 16                   # type candidates returned by ar_step
 
     def setup(self):
@@ -238,7 +252,7 @@ class EdgeDenoise(nn.Module):
         search_adj_pad = jnp.clip(search_adj + add + jnp.transpose(add, (0, 2, 1)), 0, 1)
         pred_onehot = (jnp.arange(n)[None, :] == predict_idx[:, None]).astype(jnp.float32)
         hn, xn = self.depth_mp("gcl_denoise", he, xe, search_adj_pad, pred_onehot,
-                               node_mask, self.max_depth or n)
+                               node_mask, self.max_depth_node or self.max_depth or n)
         n_logits = self.node_logits(hn, predict_idx)
         support = allowed if allowed is not None else jnp.ones_like(n_logits)
         node_ce = masked_cross_entropy(n_logits, label, support)

@@ -44,6 +44,7 @@ class NodeRefine(nn.Module):
     n_layers: int = 2
     max_size: int = 26
     gated: bool = True
+    max_depth: Optional[int] = None   # static per-phase scan length; None -> N-1
 
     def setup(self):
         h = self.hidden_size
@@ -66,13 +67,13 @@ class NodeRefine(nn.Module):
         self.output = nn.Sequential([nn.Dense(h, kernel_init=torch_linear_init), nn.silu, nn.Dense(self.vocab_size, kernel_init=torch_linear_init)])
 
     def _phase(self, phase_name: str, h, x, parent, depth, node_mask, ds, flip: bool):
-        """nn.scan one directional phase over depth values ``ds`` (params
-        broadcast across depth steps); each layer is a parent-pointer
-        tree_pass (see ops/gcl.py)."""
+        """nn.scan one directional phase over per-sample depth values ``ds``
+        (L, B) (params broadcast across depth steps); each layer is a
+        parent-pointer tree_pass (see ops/gcl.py)."""
 
         def step(mdl, carry, d):
             h, x = carry
-            active = depth == d
+            active = (depth == d[:, None]) & (d[:, None] >= 1)
             for layer in getattr(mdl, phase_name):
                 h, x = layer.tree_pass(h, x, parent, active, node_mask, reverse=flip)
             return (h, x), ()
@@ -84,12 +85,23 @@ class NodeRefine(nn.Module):
 
     def message(self, h: Array, x: Array, adj: Array, center_onehot: Array,
                 node_mask: Array) -> Tuple[Array, Array]:
-        """Tri-directional depth flow. (reference: model_refine.py:48-71)"""
-        n = adj.shape[1]
+        """Tri-directional depth flow. (reference: model_refine.py:48-71)
+
+        Depth layers are aligned per sample by position-from-deepest, like
+        the reference's flat_add_and_concat (model_refine.py:322-343): the
+        collect/back phases run each sample's deepest layer in iteration 0;
+        the reverse phase reverses the CONCATENATED layer list, so sample
+        i's shallowest layer runs at iteration L - maxdepth_i (identical
+        results either way for gated=True; exact for gated=False).
+        """
+        b, n = adj.shape[:2]
         depth = bfs_depths(adj, center_onehot)
         parent = compute_parents(adj, depth)
-        down = jnp.arange(n - 1, 0, -1, dtype=jnp.int32)   # deepest -> 1
-        up = jnp.arange(1, n, dtype=jnp.int32)             # 1 -> deepest
+        maxd = jnp.max(depth, axis=1)                      # (B,)
+        steps = self.max_depth or (n - 1)
+        ks = jnp.arange(steps, dtype=jnp.int32)
+        down = maxd[None, :] - ks[:, None]                 # (L, B) deepest-first
+        up = maxd[None, :] - (steps - 1 - ks)[:, None]     # reversed concat order
         h, x = self._phase("gcl_collect", h, x, parent, depth, node_mask, down, flip=False)
         h, x = self._phase("gcl_reverse", h, x, parent, depth, node_mask, up, flip=True)
         h, x = self._phase("gcl_back", h, x, parent, depth, node_mask, down, flip=False)

@@ -76,7 +76,12 @@ def treekit_available() -> bool:
 
 
 def dfs_bidirection_native(adj: np.ndarray, seed: int, sample_idx: int = -1):
-    """Native dfs_bidirection; returns (undiscovered_mask, search_ind, last_ind)."""
+    """Native dfs_bidirection; returns (undiscovered_mask, search_ind, last_ind).
+
+    Contract is PINNED to ``data.orders.dfs_bidirection``: the mask excludes
+    the search node (tests/test_runtime.py asserts equality for every DFS
+    step). Exception: the root step (idx 0) marks all n nodes, mirroring the
+    Python list [0..n-1] which includes search node 0."""
     lib = _load()
     assert lib is not None
     n = adj.shape[0]

@@ -84,10 +84,12 @@ int32_t tk_dfs_bidirection(const double* adj, int32_t n, int32_t sample_idx,
   }
   *last_ind = order_node[first_at_depth - 1];
   *search_ind = s;
+  // mask EXCLUDES the search node, exactly like the Python/reference
+  // dfs_bidirection (MPNN_pattern.py:15-42, data/orders.py) — consumers add
+  // the search node themselves where the contract needs it
   for (size_t i = 0; i < order_node.size(); ++i) {
     if (order_depth[i] > depth) undiscovered_mask[order_node[i]] = 1;
   }
-  undiscovered_mask[s] = 1;
   return idx;
 }
 
@@ -171,9 +173,13 @@ void tk_pack_denoise_batch(
       discovered[(size_t)b * max_n + i] = disc ? 1 : 0;
       bool val_miss = (full_row - org_row) != 0.0;
       focal_label[(size_t)b * max_n + i] = (disc && val_miss) ? 1.f : 0.f;
-      undiscovered[(size_t)b * max_n + i] = umask[i] ? 1.f : 0.f;
+      // the batch channel INCLUDES the search node (its type is the label;
+      // it must be in the CE support and carry the undiscovered token —
+      // MPNN_pattern.py:68-79, data/denoise.py:make_denoise_example)
+      bool und = umask[i] || i == s_ind;
+      undiscovered[(size_t)b * max_n + i] = und ? 1.f : 0.f;
       vocab_idx[(size_t)b * max_n + i] =
-          umask[i] ? undiscovered_token : (int32_t)wids_in[no + i];
+          und ? undiscovered_token : (int32_t)wids_in[no + i];
     }
     for (int i = n; i < max_n; ++i)
       vocab_idx[(size_t)b * max_n + i] = undiscovered_token;

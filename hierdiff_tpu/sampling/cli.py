@@ -26,13 +26,25 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def load_checkpoint_params(workdir: str):
-    """Latest Orbax checkpoint from a training workdir -> (params, config)."""
-    ckpt_dir = (Path(workdir) / "checkpoints").resolve()
-    mngr = ocp.CheckpointManager(ckpt_dir)
-    step = mngr.latest_step()
+def load_checkpoint_params(workdir: str, prefer_best: bool = True):
+    """Orbax checkpoint from a training workdir -> (params, config).
+
+    Prefers the protected best-metric checkpoint (checkpoints_best/, top-1 —
+    the reference ships its monitored top-1 ckpt) and falls back to the
+    latest periodic save; EMA params win when present."""
+    candidates = (["checkpoints_best", "checkpoints"] if prefer_best
+                  else ["checkpoints"])
+    step = None
+    for sub in candidates:
+        ckpt_dir = (Path(workdir) / sub).resolve()
+        if not ckpt_dir.exists():
+            continue
+        mngr = ocp.CheckpointManager(ckpt_dir)
+        step = mngr.latest_step()
+        if step is not None:
+            break
     if step is None:
-        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+        raise FileNotFoundError(f"no checkpoints under {workdir}")
     restored = mngr.restore(step)
     params = restored.get("ema_params") or restored["params"]
     cfg = json.loads((Path(workdir) / "config.json").read_text())

@@ -157,7 +157,9 @@ class LatticeSampler:
         for i, jt in enumerate(blur_sets):
             by_bucket.setdefault(bucket_for(jt["h"].shape[0]), []).append(i)
 
-        lattices: Dict[int, MoleculeLattice] = {}
+        # dispatch every chunk first (JAX dispatch is async — host packing of
+        # chunk k+1 overlaps device compute of chunk k), then collect
+        pending = []
         for nb, idxs in sorted(by_bucket.items()):
             cap = self._max_batch(nb)
             for c0 in range(0, len(idxs), cap):
@@ -179,16 +181,19 @@ class LatticeSampler:
                         [blur_sets[i]["h"] for i in chunk], self.allowed_fn,
                         b, nb, self.model.out_node_nf)
                     args += [jnp.asarray(bucket), jnp.asarray(table)]
-                out = self._fn(nb, b, with_allowed)(self.params, *args)
-                out = {k: np.asarray(v) for k, v in out.items()}
-                for row, i in enumerate(chunk):
-                    n = blur_sets[i]["h"].shape[0]
-                    lattices[i] = MoleculeLattice(
-                        focal=out["focal"][row, :n],
-                        target=out["target"][row, :n],
-                        attach=out["did_attach"][row, :n],
-                        top_wid=out["top_wid"][row, :n],
-                        top_logp=out["top_logp"][row, :n])
+                pending.append((chunk, self._fn(nb, b, with_allowed)(self.params, *args)))
+
+        lattices: Dict[int, MoleculeLattice] = {}
+        for chunk, out in pending:
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for row, i in enumerate(chunk):
+                n = blur_sets[i]["h"].shape[0]
+                lattices[i] = MoleculeLattice(
+                    focal=out["focal"][row, :n],
+                    target=out["target"][row, :n],
+                    attach=out["did_attach"][row, :n],
+                    top_wid=out["top_wid"][row, :n],
+                    top_logp=out["top_logp"][row, :n])
         return lattices
 
     # --- host search ----------------------------------------------------------

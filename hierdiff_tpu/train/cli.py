@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from hierdiff_tpu.config import load_config
 from hierdiff_tpu.train.data_iters import (coarse_iter, denoise_iter, finite,
-                                           load_tree_pool, refine_iter)
+                                           load_tree_pool, prefetch_to_device,
+                                           refine_iter)
 from hierdiff_tpu.train.trainer import Trainer
 
 
@@ -90,6 +91,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="HierDiff-TPU training")
     parser.add_argument("stage", choices=list(BUILDERS))
     parser.add_argument("--config", default=None)
+    parser.add_argument("--find-lr", action="store_true",
+                        help="LR sweep instead of training (writes lr_find.csv; "
+                             "reference find_lr mode, endiffusion/train.py:93-125)")
     parser.add_argument("overrides", nargs="*", help="dotted overrides: train.max_steps=100")
     args = parser.parse_args(argv)
 
@@ -100,7 +104,8 @@ def main(argv=None):
 
     pool = load_tree_pool(cfg, seed=cfg.train.seed)
     raw_train = make_iter(cfg, pool, seed=cfg.train.seed)
-    train_it = map(_device_batch, raw_train)
+    # double-buffered async host->device pipeline (data_iters.prefetch_to_device)
+    train_it = prefetch_to_device(raw_train, size=2)
     rng = jax.random.PRNGKey(cfg.train.seed)
 
     # init from the first batch (jitted: unjitted flax init dispatches every
@@ -113,6 +118,9 @@ def main(argv=None):
         params = jax.jit(model.init)(rng, first)
 
     trainer = Trainer(cfg, loss_fn, params, monitor="loss")
+    if args.find_lr:
+        trainer.find_lr(train_it, rng)
+        return
     if trainer.try_resume():
         print(f"resumed from step {int(trainer.state.step)}")
 

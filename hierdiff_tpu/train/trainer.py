@@ -8,9 +8,15 @@ TPU-native replacement for the reference's PyTorch-Lightning stack
 - checkpoint/resume: Orbax "last + best" mirroring the reference's
   ModelCheckpoint(save_last=True, top-1) policy
   (endiffusion/conf/callbacks/checkpoint.yaml) and try_resume
-  (endiffusion/train.py:35-85);
-- metrics: CSV + stdout (the reference's csv logger equivalent; W&B-style
-  loggers can be layered on top).
+  (endiffusion/train.py:35-85); the best checkpoint lives in its own
+  top-1 manager so later periodic saves can never evict it;
+- metrics: CSV + stdout + TensorBoard when available (the reference
+  composes W&B/TB/CSV, endiffusion/conf/logging/*.yaml — W&B needs
+  network egress and is not available here);
+- eval/sampling read the EMA parameters when enabled (the reference's EMA
+  class is dead code; ours is live, parallel/train_step.py);
+- ``find_lr``: exponential LR sweep (the reference's find_lr mode,
+  endiffusion/train.py:93-125 via PL's lr_finder).
 """
 
 from __future__ import annotations
@@ -59,7 +65,8 @@ class Trainer:
     """Generic loop over a ``loss_fn(params, batch, rng) -> (loss, metrics)``."""
 
     def __init__(self, cfg: Config, loss_fn: Callable, init_params,
-                 data_parallel: bool = True, monitor: str = "loss"):
+                 data_parallel: bool = True, monitor: str = "loss",
+                 eval_on_ema: bool = True, tensorboard: bool = True):
         self.cfg = cfg
         self.workdir = Path(cfg.train.workdir)
         self.workdir.mkdir(parents=True, exist_ok=True)
@@ -74,25 +81,42 @@ class Trainer:
         self.step_fn = make_train_step(loss_fn, mesh=self.mesh)
         self.eval_fn = make_eval_step(loss_fn, mesh=self.mesh)
         self.monitor = monitor
+        self.eval_on_ema = eval_on_ema
         self.best = float("inf")
 
+        # last-k in checkpoints/, best-metric top-1 in checkpoints_best/ —
+        # periodic saves can never evict the best (reference policy:
+        # save_last + top-1, endiffusion/conf/callbacks/checkpoint.yaml)
         self.ckpt_dir = (self.workdir / "checkpoints").resolve()
         self.mngr = ocp.CheckpointManager(
             self.ckpt_dir,
             options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
         )
+        self.best_mngr = ocp.CheckpointManager(
+            (self.workdir / "checkpoints_best").resolve(),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+        )
         self._metrics_file = self.workdir / "metrics.csv"
         self._csv_header_written = self._metrics_file.exists()
+        self._tb = None
+        if tensorboard:
+            try:
+                from flax.metrics.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(str(self.workdir / "tb"))
+            except Exception:
+                self._tb = None
 
     # --- checkpointing -----------------------------------------------------
 
-    def save(self, step: int, metrics: Optional[Dict[str, float]] = None):
+    def save(self, step: int, metrics: Optional[Dict[str, float]] = None,
+             best: bool = False):
         payload = {"params": self.state.params, "opt_state": self.state.opt_state,
                    "step": self.state.step}
         if self.state.ema_params is not None:
             payload["ema_params"] = self.state.ema_params
-        self.mngr.save(step, args=ocp.args.StandardSave(payload))
-        self.mngr.wait_until_finished()
+        mngr = self.best_mngr if best else self.mngr
+        mngr.save(step, args=ocp.args.StandardSave(payload))
+        mngr.wait_until_finished()
 
     def try_resume(self) -> bool:
         """Resume from the latest checkpoint if one exists (the reference's
@@ -123,6 +147,10 @@ class Trainer:
             w.writerow(row)
         msg = " ".join(f"{k}={float(v):.4g}" for k, v in metrics.items())
         print(f"[{split}] step {step}: {msg}", flush=True)
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.scalar(f"{split}/{k}", float(v), step)
+            self._tb.flush()
 
     # --- loop --------------------------------------------------------------
 
@@ -149,18 +177,64 @@ class Trainer:
                 self.log(step + 1, ev, split="val")
                 if ev.get(self.monitor, float("inf")) < self.best:
                     self.best = ev[self.monitor]
-                    self.save(step + 1)
-            elif (step + 1) % self.cfg.train.checkpoint_every == 0:
+                    self.save(step + 1, best=True)
+            if (step + 1) % self.cfg.train.checkpoint_every == 0:
                 self.save(step + 1)
         self.save(self.cfg.train.max_steps)
         return self.state
 
     def evaluate(self, it: Iterator, rng) -> Dict[str, float]:
+        """Eval on the EMA parameters when enabled — sampling uses them too
+        (sampling/cli.py), so the monitored metric matches what ships."""
+        params = self.state.params
+        if self.eval_on_ema and self.state.ema_params is not None:
+            params = self.state.ema_params
         acc: Dict[str, list] = {}
         for batch in it:
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
-            m = self.eval_fn(self.state.params, batch, rng)
+            m = self.eval_fn(params, batch, rng)
             for k, v in m.items():
                 acc.setdefault(k, []).append(float(v))
         return {k: float(np.mean(v)) for k, v in acc.items()}
+
+    # --- LR finder -----------------------------------------------------------
+
+    def find_lr(self, train_iter: Iterator, rng: Optional[jax.Array] = None,
+                min_lr: float = 1e-6, max_lr: float = 1.0,
+                n_steps: int = 100) -> float:
+        """Exponential LR sweep (reference find_lr mode, endiffusion/train.py:
+        93-125): one fresh optimizer stepped through geometrically increasing
+        LRs; records (lr, loss) to lr_find.csv and returns the LR one decade
+        below the divergence point (the usual lr_finder suggestion)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.train.seed)
+        lrs = np.exp(np.linspace(np.log(min_lr), np.log(max_lr), n_steps))
+        sched = optax.piecewise_constant_schedule(
+            float(lrs[0]), {i: float(lrs[i] / lrs[i - 1]) for i in range(1, n_steps)})
+        chain = []
+        if self.cfg.optim.grad_clip:
+            chain.append(optax.clip_by_global_norm(self.cfg.optim.grad_clip))
+        chain.append(optax.adamw(sched, weight_decay=self.cfg.optim.weight_decay))
+        state = TrainState.create(self.state.params, optax.chain(*chain), ema_decay=0.0)
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        losses = []
+        best_loss = float("inf")
+        for i in range(n_steps):
+            batch = next(train_iter)
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            state, metrics = self.step_fn(state, batch, rng)
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            best_loss = min(best_loss, loss)
+            if not np.isfinite(loss) or loss > 10 * abs(best_loss) + 1e3:
+                break  # diverged
+        with open(self.workdir / "lr_find.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["lr", "loss"])
+            w.writerows(zip(lrs[: len(losses)], losses))
+        suggestion = float(lrs[max(int(np.argmin(losses)) - n_steps // 10, 0)])
+        print(f"find_lr: {len(losses)} steps, min loss {min(losses):.4g}, "
+              f"suggested lr {suggestion:.3g}")
+        return suggestion

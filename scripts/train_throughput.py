@@ -1,0 +1,81 @@
+"""Training-throughput sweep: steps/sec for the coarse stage on one chip.
+
+Measures the round-2 levers (ROADMAP #4 / VERDICT #8): host->device
+prefetch (data_iters.prefetch_to_device) and gradient rematerialization
+(DenseEGNN remat) at GEOM-realistic buckets. Prints one JSON line per
+config; numbers land in BASELINE.md.
+
+  python scripts/train_throughput.py [--steps 20] [--batch 64]
+"""
+
+import argparse
+import itertools
+import json
+import time
+
+import numpy as np
+
+
+def measure(bucket: int, batch: int, remat: bool, prefetch: bool, steps: int):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hierdiff_tpu.config import load_config
+    from hierdiff_tpu.data.synthetic import SyntheticTreeGenerator
+    from hierdiff_tpu.models.diffusion import CoarseDiffusion
+    from hierdiff_tpu.parallel import TrainState, make_train_step
+    from hierdiff_tpu.train.data_iters import coarse_iter, prefetch_to_device
+
+    cfg = load_config(None, [f"train.batch_size={batch}",
+                             f"train.buckets=({bucket},)",
+                             "train.num_train_trees=512"])
+    model = CoarseDiffusion(in_node_nf=8, timesteps=1000, hidden_nf=256,
+                            n_layers=6, inv_sublayers=2,
+                            noise_schedule="learned", remat=remat)
+    gen = SyntheticTreeGenerator(seed=0)
+    # synthetic trees near the bucket size so padding is realistic
+    pool = gen.sample_trees(512, n=max(4, bucket - 4))
+    raw = coarse_iter(cfg, pool, seed=0)
+    it = (prefetch_to_device(raw, size=2) if prefetch
+          else ({k: jnp.asarray(v) for k, v in b.items()} for b in raw))
+
+    first = next(it)
+    params = jax.jit(lambda r, b, r2: model.init(r, b, r2, train=True))(
+        jax.random.PRNGKey(0), first, jax.random.PRNGKey(1))
+
+    def loss_fn(p, b, rng):
+        out = model.apply(p, b, rng, train=True)
+        return out["loss"], {}
+
+    state = TrainState.create(params, optax.adamw(1e-4), ema_decay=0.999)
+    step_fn = make_train_step(loss_fn)
+    rng = jax.random.PRNGKey(2)
+    # warm up: compile + settle
+    for _ in range(3):
+        state, m = step_fn(state, next(it), rng)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step_fn(state, next(it), rng)
+    float(m["loss"])  # sync
+    dt = (time.perf_counter() - t0) / steps
+    return 1.0 / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--buckets", type=int, nargs="*", default=[48, 96])
+    args = p.parse_args()
+    for bucket, remat, prefetch in itertools.product(
+            args.buckets, [False, True], [False, True]):
+        sps = measure(bucket, args.batch, remat, prefetch, args.steps)
+        print(json.dumps({"bucket": bucket, "batch": args.batch,
+                          "remat": remat, "prefetch": prefetch,
+                          "steps_per_sec": round(sps, 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,17 +7,23 @@ ones that run anywhere.
 
 import os
 
-# Force override: the environment may pin JAX_PLATFORMS to a TPU backend
-# (e.g. axon); unit tests must run on the virtual CPU mesh regardless.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+if os.environ.get("HIERDIFF_TEST_PLATFORM", "cpu") == "cpu":
+    # Force override: the environment may pin JAX_PLATFORMS to a TPU backend
+    # (e.g. axon); unit tests must run on the virtual CPU mesh regardless.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
-import jax  # noqa: E402
+    import jax
 
-# The axon sitecustomize pins jax_platforms="axon,cpu" via jax.config at
-# interpreter start; env vars alone cannot override it. Force CPU here,
-# before any backend is initialized.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", False)
+    # The axon sitecustomize pins jax_platforms="axon,cpu" via jax.config at
+    # interpreter start; env vars alone cannot override it. Force CPU here,
+    # before any backend is initialized.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", False)
+else:
+    # HIERDIFF_TEST_PLATFORM=native: keep the environment's real backend —
+    # used by the subprocess runner in test_pallas.py so the TPU kernel
+    # tests are exercised by CI instead of skipping under the CPU pin.
+    import jax  # noqa: F401

@@ -5,6 +5,11 @@ kernels use bf16 operands with f32 accumulation, so tolerances are bf16-level
 for a single layer application.
 """
 
+import os
+import subprocess
+import sys
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +17,29 @@ import pytest
 
 requires_tpu = pytest.mark.skipif(jax.default_backend() != "tpu",
                                   reason="pallas TPU kernels need a TPU")
+
+
+def test_pallas_kernels_on_real_tpu_via_subprocess():
+    """CI entry point for the kernel tests: the suite pins the CPU backend
+    (conftest), so re-run THIS FILE in a subprocess on the environment's
+    real backend. Skips only when no TPU exists there either."""
+    if jax.default_backend() == "tpu":
+        pytest.skip("already on TPU; the direct tests below run")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["HIERDIFF_TEST_PLATFORM"] = "native"
+    repo = Path(__file__).resolve().parent.parent
+    probe = subprocess.run(
+        [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+        env=env, capture_output=True, text=True, timeout=120, cwd=repo)
+    if "tpu" not in probe.stdout:
+        pytest.skip(f"no real TPU backend available ({probe.stdout.strip()!r})")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", str(Path(__file__)), "-q",
+         "--deselect", f"{Path(__file__)}::test_pallas_kernels_on_real_tpu_via_subprocess"],
+        env=env, capture_output=True, text=True, timeout=900, cwd=repo)
+    assert r.returncode == 0, f"TPU pallas tests failed:\n{r.stdout}\n{r.stderr}"
+    assert "4 passed" in r.stdout, f"expected all 4 kernel tests to RUN:\n{r.stdout}"
 
 
 def make_inputs(B, N, H, key=0):

@@ -95,11 +95,35 @@ def ref():
     ns.noise_model = _load("endiffusion/models/noise_model.py", "models.noise_model")
     _mod("models.module")
     ns.dynamics = _load("endiffusion/models/module/en_dynamics.py", "models.module.en_dynamics")
-    _load("endiffusion/equivariant_diffusion/utils.py", "equivariant_diffusion.utils")
     _mod("equivariant_diffusion")
+    _load("endiffusion/equivariant_diffusion/utils.py", "equivariant_diffusion.utils")
     ns.criterion = _load("endiffusion/loss/criterion.py", "loss.criterion")
     _mod("loss", criterion=ns.criterion)
+    # DiffusionQM9's module-level imports (PL/hydra never exercised by the
+    # compared loss path)
+    class _PLModule(torch.nn.Module):
+        def save_hyperparameters(self, *a, **k):
+            pass
+
+    _mod("pytorch_lightning", LightningModule=_PLModule)
+    _mod("hydra")
+    _mod("hydra.utils", instantiate=None)
+    sys.modules["hydra"].utils = sys.modules["hydra.utils"]
+    _mod("dataset")
+    _load("endiffusion/dataset/datasets_statistics.py", "dataset.datasets_statistics")
+    _load("endiffusion/models/distributions.py", "models.distributions")
+    ns.diffusion = _load("endiffusion/train_module/diffusion_qm9.py",
+                         "train_module.diffusion_qm9")
     return ns
+
+
+class AttrDict(dict):
+    """Minimal easydict stand-in: attribute + item access."""
+
+    __getattr__ = dict.__getitem__
+
+    def __setattr__(self, k, v):
+        self[k] = v
 
 
 # --------------------------------------------------------------------------
@@ -292,3 +316,395 @@ def test_dynamics_forward_parity(ref):
         out = ours.apply(params, jnp.asarray(t), jnp.asarray(xh),
                          jnp.asarray(node_mask), jnp.asarray(edge_mask))
     np.testing.assert_allclose(np.asarray(out), out_ref, atol=5e-4, rtol=5e-4)
+
+
+# --------------------------------------------------------------------------
+# 3. Edge_denoise full forward: all four heads + losses
+# --------------------------------------------------------------------------
+
+
+def copy_edge_denoise(model_t, H, n_full, n_focal):
+    p = {
+        "feature_embedding": copy_linear(model_t.feature_embedding),
+        "vocab_embedding": {"embedding": jnp.asarray(t2n(model_t.vocab_embedding.weight))},
+        "edge_embedding": copy_linear(model_t.edge_embedding),
+        "node_embedding": copy_linear(model_t.node_embedding),
+        "focal_head": copy_sequential_head(model_t.focal_predict),
+        "edge_head": copy_sequential_head(model_t.edge_predict),
+        "node_head": copy_sequential_head(model_t.node_predict),
+        "gcl_edge": copy_fine_egcl(model_t._modules["gcl_edge"], H, 1),
+        "gcl_denoise": copy_fine_egcl(model_t._modules["gcl_denoise"], H, 1),
+    }
+    for i in range(n_full):
+        p[f"gcl_full_{i}"] = copy_fine_egcl(model_t._modules[f"gcl_full_{i}"], H, H)
+    for i in range(n_focal):
+        p[f"gcl_focal_{i}"] = copy_fine_egcl(model_t._modules[f"gcl_focal_{i}"], H, H)
+    return p
+
+
+def test_edge_denoise_full_forward_parity(ref):
+    """All four heads + losses on identical weights and a real collated
+    batch (reference's own PadCollate_onehot builds the edge programs)."""
+    import random
+
+    from hierdiff_tpu.data.denoise import collate_denoise, make_denoise_example
+    from hierdiff_tpu.data.orders import dfs_bidirection, make_search_adjacencies
+    from hierdiff_tpu.data.synthetic import SyntheticTreeGenerator
+    from hierdiff_tpu.models.edge_denoise import EdgeDenoise
+
+    torch.manual_seed(7)
+    H, B, N = 32, 3, 7
+    gen = SyntheticTreeGenerator(seed=5)
+    trees = gen.sample_trees(B, n=N)
+    samp = [4, 5, 3]  # mid/late DFS steps: focal+edge+node heads all active
+
+    # ---- reference batch through its own collate --------------------------
+    ref_samples = []
+    for t, k in zip(trees, samp):
+        und, s_ind, l_ind = dfs_bidirection(t.adj, sampling=k)
+        org, pad = make_search_adjacencies(t.adj, und, s_ind, l_ind)
+        undisc_list = list(und) + ([s_ind] if s_ind not in und else [])
+        token = t.wids.astype(np.float64).copy()
+        token[undisc_list] = 780
+        feat = np.concatenate([t.feats.astype(np.float64), token[:, None]], axis=1)
+        discover = set(np.nonzero(org.sum(1) > 0)[0].tolist())
+        val_miss = set(np.nonzero((t.adj - org).sum(1) != 0)[0].tolist())
+        ref_samples.append({
+            "feat": torch.tensor(feat, dtype=torch.float32),
+            "position": torch.tensor(t.pos, dtype=torch.float32),
+            "adj_matrix": np.asarray(t.adj),
+            "search_adj_matrix_org": org,
+            "search_adj_matrix": pad,
+            "label": int(t.wids[s_ind]),
+            "array": [],
+            "focal": sorted(val_miss & discover),
+            "discover": sorted(discover),
+            "undiscovered": undisc_list,
+            "predict_idx": s_ind,
+            "last_ind": l_ind,
+        })
+    args = types.SimpleNamespace(int_feature_size=5, num_continutes_feature=3,
+                                 context_nf=0)
+    ref_batch = ref.collate.PadCollate_onehot(ref_samples, args)
+    # bool -> float (newer torch refuses bool/float cat inside the forward)
+    ref_batch["search_adj_matrix"] = ref_batch["search_adj_matrix"].float()
+    ref_batch["edge_mask"] = ref_batch["edge_mask"].float()
+    ref_batch["node_feat"][1] = ref_batch["node_feat"][1].float()
+
+    model_t = ref.edge_denoise.Edge_denoise(
+        vocab_size=781, in_node_nf=8, hidden_nf=H, out_node_nf=780,
+        array_dict=None, n_layers_full=2, n_layers_focal=2,
+        focal_loss=5, edge_loss=1, node_loss=2, full_softmax=True)
+    model_t.eval()
+    caps = {}
+    model_t.focal_predict.register_forward_hook(
+        lambda m, i, o: caps.__setitem__("focal_pred", o.detach()))
+    with torch.no_grad():
+        out_ref = model_t(ref_batch)
+
+    # ---- our dense batch + model with copied weights -----------------------
+    max_depth = len(ref_batch["edge_search_pad"])
+    exs = [make_denoise_example(t, random.Random(0), sampling=k)
+           for t, k in zip(trees, samp)]
+    batch = {k: jnp.asarray(v) for k, v in collate_denoise(exs, max_n=N).items()}
+
+    ours = EdgeDenoise(vocab_size=781, out_node_nf=780, in_node_nf=8, hidden_nf=H,
+                       n_layers_full=2, n_layers_focal=2,
+                       focal_weight=5.0, edge_weight=1.0, node_weight=2.0,
+                       gated=False,             # reference updates every node
+                       max_depth=max_depth, max_depth_node=max_depth + 1)
+    params = {"params": copy_edge_denoise(model_t, H, 2, 2)}
+    with jax.default_matmul_precision("highest"):
+        out = ours.apply(params, batch)
+
+    # our losses are batch means; the reference returns per-batch sums
+    for key in ("edge_loss", "node_loss"):
+        np.testing.assert_allclose(float(out[key]) * B, float(out_ref[key]),
+                                   rtol=2e-3, atol=2e-3, err_msg=key)
+    for key in ("focal_accuracy", "edge_accuracy", "node_accuracy"):
+        np.testing.assert_allclose(float(out[key]), float(out_ref[key]),
+                                   atol=1e-6, err_msg=key)
+
+    # FOCAL LOSS — reference bug, pinned both ways (see models/edge_denoise.py
+    # module doc): split_edges receives the [rows, cols] flat format but
+    # iterates edge pairs (edge_denoise.py:124-126 vs :500-505), so only the
+    # sample owning the first flat edge contributes its BCE. Recompute both
+    # interpretations from the reference's own focal_predict output:
+    scores = t2n(caps["focal_pred"]).squeeze(-1)
+    labels = t2n(ref_batch["focal"]).astype(np.float64)
+    cand_owner = np.array([c // N for c in ref_batch["focal_cand"]])
+    bce = -(labels * np.log(scores) + (1 - labels) * np.log(1 - scores))
+    per_sample = np.array([bce[cand_owner == i].mean() for i in range(B)])
+    # (a) the reference value IS the sample-0-only sum (evidencing the bug)
+    np.testing.assert_allclose(float(out_ref["focal_loss"]), per_sample[0],
+                               rtol=1e-5)
+    # (b) ours is the all-samples sum (the evident intent), same head output
+    np.testing.assert_allclose(float(out["focal_loss"]) * B, per_sample.sum(),
+                               rtol=2e-3)
+    # total: identical up to the focal-gate correction
+    corrected_total = (5 * per_sample.sum() + float(out_ref["edge_loss"])
+                       + 2 * float(out_ref["node_loss"]))
+    np.testing.assert_allclose(float(out["total_loss"]) * B, corrected_total,
+                               rtol=2e-3)
+
+
+# --------------------------------------------------------------------------
+# 4. Node2Vec (refine model) full forward
+# --------------------------------------------------------------------------
+
+
+def test_node2vec_forward_parity(ref, tmp_path):
+    import pickle
+
+    from hierdiff_tpu.data.synthetic import SyntheticTreeGenerator
+    from hierdiff_tpu.models.refine import NodeRefine
+
+    torch.manual_seed(11)
+    H, B, N, V = 32, 3, 7, 780
+    # synthetic heavy-atom sizes: size(wid) = wid % 20 + 1
+    sizes_of_wid = np.arange(V) % 20 + 1
+    size_dict = {s: [w for w in range(V) if sizes_of_wid[w] == s]
+                 for s in range(1, 21)}
+    sd_path = tmp_path / "size_dict.pkl"
+    sd_path.write_bytes(pickle.dumps(size_dict))
+
+    gen = SyntheticTreeGenerator(seed=9)
+    trees = gen.sample_trees(B, n=N)
+    masked = [2, 4, 0]
+
+    # ---- reference batch (mirrors dataset_refine.PadCollate) ---------------
+    feature = torch.zeros(B, N, 8)
+    vocab_t = torch.zeros(B, N, dtype=torch.long)
+    size_t = torch.zeros(B, N, dtype=torch.long)
+    label_t = torch.zeros(B, dtype=torch.long)
+    pos_t = torch.zeros(B, N, 3)
+    mask_t = torch.zeros(B, N, 1)
+    val_t = torch.zeros(B)
+    per_sample_edges = []
+    for i, (t, m) in enumerate(zip(trees, masked)):
+        feats = t.feats.astype(np.float32).copy()
+        feats[m] = 0.0
+        wids = t.wids.astype(np.int64).copy()
+        label_t[i] = int(wids[m])
+        wids[m] = 780
+        feature[i] = torch.tensor(feats)
+        vocab_t[i] = torch.tensor(wids)
+        size_t[i] = torch.tensor(sizes_of_wid[np.where(t.wids >= 0, t.wids, 0)])
+        pos_t[i] = torch.tensor(t.pos.astype(np.float32))
+        mask_t[i] = 1.0
+        val_t[i] = float(t.adj[m].sum())
+        e = np.nonzero(t.adj)
+        layers = ref.model_refine.get_bfs_depth_edges(
+            [list(e[0]), list(e[1])], m, N)
+        per_sample_edges.append(layers)
+    max_depth = max(len(e) for e in per_sample_edges)
+    edges_pad = [[[], []] for _ in range(max_depth)]
+    for i, layers in enumerate(per_sample_edges):
+        for j, (rows, cols) in enumerate(layers):
+            edges_pad[j][0].extend([r + i * N for r in rows])
+            edges_pad[j][1].extend([c + i * N for c in cols])
+    ref_batch = {"feature": feature, "pos": pos_t, "vocab": vocab_t,
+                 "label": label_t, "size": size_t, "mask": mask_t,
+                 "edges": edges_pad, "predict_idx": masked, "val": val_t}
+
+    model_t = ref.model_refine.Node2Vec(
+        size_dict=str(sd_path), vocab_size=V, feature_size=8,
+        hidden_size=H, n_layers=2)
+    model_t.eval()
+    with torch.no_grad():
+        out_ref = model_t(ref_batch)
+
+    # ---- ours ---------------------------------------------------------------
+    batch = {
+        "feats": jnp.asarray(t2n(feature)),
+        "vocab": jnp.asarray(t2n(vocab_t)).astype(jnp.int32),
+        "size": jnp.asarray(t2n(size_t)).astype(jnp.int32),
+        "pos": jnp.asarray(t2n(pos_t)),
+        "adj": jnp.asarray(np.stack([t.adj.astype(np.float32) for t in trees])),
+        "node_mask": jnp.asarray(t2n(mask_t)),
+        "predict_idx": jnp.asarray(np.array(masked, np.int32)),
+        "label": jnp.asarray(t2n(label_t)).astype(jnp.int32),
+        "val": jnp.asarray(t2n(val_t)),
+        "size_support": jnp.asarray(np.stack([
+            np.isin(np.arange(V), size_dict[int(sizes_of_wid[l])]).astype(np.float32)
+            for l in t2n(label_t)])),
+    }
+    ours = NodeRefine(vocab_size=V, feature_size=8, hidden_size=H, n_layers=2,
+                      gated=False, max_depth=max_depth)
+    params = {"params": {
+        "v_embedding": {"embedding": jnp.asarray(t2n(model_t.v_embedding.weight))},
+        "size_embedding": {"embedding": jnp.asarray(t2n(model_t.size_embedding.weight))},
+        "f_embedding": copy_sequential_head(model_t.f_embedding),
+        "projection": copy_sequential_head(model_t.projection, (0, 2, 4)),
+        "output": copy_sequential_head(model_t.output),
+        **{f"gcl_{ph}{i}": copy_fine_egcl(model_t._modules[f"gcl_{ph}{i}"], H, 1)
+           for ph in ("collect", "reverse", "back") for i in range(2)},
+    }}
+    with jax.default_matmul_precision("highest"):
+        out = ours.apply(params, batch)
+    np.testing.assert_allclose(float(out["loss"]) * B, float(out_ref["loss"]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(float(out["accuracy"]), float(out_ref["accuracy"]),
+                               atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# 5. DiffusionQM9 gamma/loss algebra (learned schedule, both estimators)
+# --------------------------------------------------------------------------
+
+
+def _copy_gamma(gamma_t):
+    def pl(lin):
+        return {"kernel": jnp.asarray(t2n(lin.weight).T),
+                "bias": jnp.asarray(t2n(lin.bias))}
+    return {"l1": pl(gamma_t.l1), "l2": pl(gamma_t.l2), "l3": pl(gamma_t.l3),
+            "gamma_0": jnp.asarray(t2n(gamma_t.gamma_0)),
+            "gamma_1": jnp.asarray(t2n(gamma_t.gamma_1))}
+
+
+@pytest.fixture(scope="module")
+def diffusion_pair(ref, tmp_path_factory):
+    """Reference DiffusionQM9 + our CoarseDiffusion on identical weights."""
+    import yaml as pyyaml
+
+    from hierdiff_tpu.models.diffusion import CoarseDiffusion
+
+    H, T = 32, 50
+    hist = tmp_path_factory.mktemp("dq9") / "hist.yaml"
+    hist.write_text(pyyaml.dump({5: 10, 6: 20}))
+    dyn = AttrDict(in_node_nf=0, context_node_nf=0, n_dims=3, hidden_nf=H,
+                   n_layers=2, attention=True, condition_time=True, tanh=True,
+                   mode="egnn_dynamics", norm_constant=0, inv_sublayers=2,
+                   sin_embedding=False, normalization_factor=10,
+                   aggregation_method="sum", act_fn="silu")
+    cfg = AttrDict(pocket=False, node_coarse_type="prop", dynamics=dyn,
+                   loss_type="vlb", include_charges=0, noise_schedule="learned",
+                   parametrization="eps", dataset="geom", hcontinous=False,
+                   timesteps=T, norm_values=[1.0, 1.0, 1.0],
+                   norm_biases=[0.0, 0.0, 0.0], data_augmentation=False,
+                   analyze=str(hist))
+    torch.manual_seed(13)
+    model_t = ref.diffusion.DiffusionQM9(cfg)
+    model_t.eval()
+
+    ours = CoarseDiffusion(in_node_nf=8, timesteps=T, hidden_nf=H, n_layers=2,
+                           inv_sublayers=2, noise_schedule="learned",
+                           normalization_factor=10.0, norm_constant=0.0)
+    params = {"params": {"gamma": _copy_gamma(model_t.gamma),
+                         "dynamics": {"egnn": copy_full_egnn(model_t.dynamics.egnn, H, 2, 2)}}}
+    return model_t, ours, params, T
+
+
+def _diffusion_inputs(T, B=2, N=6, seed=21):
+    from hierdiff_tpu.ops.masked import remove_mean_with_mask, sample_combined_noise
+
+    rng = np.random.default_rng(seed)
+    counts = [5, 6]
+    node_mask = np.zeros((B, N, 1), np.float32)
+    edge_mask = np.zeros((B, N, N), np.float32)
+    for i, c in enumerate(counts):
+        node_mask[i, :c] = 1
+        edge_mask[i, :c, :c] = 1 - np.eye(c)
+    x = rng.standard_normal((B, N, 3)).astype(np.float32) * node_mask
+    x = np.asarray(remove_mean_with_mask(jnp.asarray(x), jnp.asarray(node_mask)))
+    h = rng.standard_normal((B, N, 8)).astype(np.float32) * node_mask
+    eps = np.asarray(sample_combined_noise(jax.random.PRNGKey(seed),
+                                           jnp.asarray(node_mask), 3, 8))
+    eps0 = np.asarray(sample_combined_noise(jax.random.PRNGKey(seed + 1),
+                                            jnp.asarray(node_mask), 3, 8))
+    return x, h, node_mask, edge_mask, eps, eps0
+
+
+def _stray_colon_delta(model_t, xh, eps_used, gamma, net_out):
+    """buggy-minus-corrected continuous-h term of the t=0 likelihood
+    (reference diffusion_qm9.py:477 slices net_out[:, :, :8:11] — start 0,
+    stop 8, STEP 11 — i.e. channel 0 only; we implement the evident intent)."""
+    nd, inf, cnf = 3, 5, 3
+    eps_h = eps_used[:, :, nd + inf: nd + inf + cnf]
+    net_bug = net_out[:, :, :nd + inf: nd + inf + cnf]
+    net_fix = net_out[:, :, nd + inf: nd + inf + cnf]
+    bug = -0.5 * ((eps_h - net_bug) ** 2).flatten(1).sum(1)
+    fix = -0.5 * ((eps_h - net_fix) ** 2).flatten(1).sum(1)
+    return bug - fix   # my_loss - ref_loss (loss_term_0 = -log_p)
+
+
+def test_diffusion_loss_parity_t0_always(ref, diffusion_pair):
+    """Eval estimator (t0_always=True): both forward passes + full VLB."""
+    from unittest import mock
+
+    from hierdiff_tpu.models.diffusion import CoarseDiffusion
+
+    model_t, ours, params, T = diffusion_pair
+    B = 2
+    x, h, nm, em, eps, eps0 = _diffusion_inputs(T)
+    t_int = np.array([[3], [T]], np.int64)
+
+    noises = iter([torch.tensor(eps), torch.tensor(eps0)])
+    model_t.sample_combined_position_feature_noise = \
+        lambda n_samples, n_nodes, node_mask: next(noises)
+    with mock.patch("torch.randint", return_value=torch.tensor(t_int)), torch.no_grad():
+        loss_ref, _ = model_t.compute_loss(
+            torch.tensor(x), torch.tensor(h), torch.tensor(nm).bool(),
+            torch.tensor(em), None, t0_always=True)
+
+    with jax.default_matmul_precision("highest"):
+        loss_my, info = ours.apply(
+            params, jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(h),
+            jnp.asarray(nm), jnp.asarray(em), None, True, False,
+            t_int=jnp.asarray(t_int), eps=jnp.asarray(eps), eps0=jnp.asarray(eps0),
+            method=CoarseDiffusion.compute_loss)
+
+    # account for the stray-colon bug in the reference's t=0 term
+    with torch.no_grad(), jax.default_matmul_precision("highest"):
+        xh_t = torch.cat([torch.tensor(x), torch.tensor(h)], dim=2)
+        zeros = torch.zeros((B, 1))
+        gamma_0 = model_t.inflate_batch_array(model_t.gamma(zeros), xh_t)
+        z_0 = (model_t.alpha(gamma_0, xh_t) * xh_t
+               + model_t.sigma(gamma_0, xh_t) * torch.tensor(eps0))
+        net0 = model_t.phi(z_0, zeros, torch.tensor(nm).bool(), torch.tensor(em), None)
+        delta = _stray_colon_delta(model_t, xh_t, torch.tensor(eps0), gamma_0, net0)
+    # rtol 5e-3: the VLB total is T-amplified (x50) over two full EGNN
+    # passes; per-tensor network parity is pinned at 5e-4 above
+    np.testing.assert_allclose(np.asarray(loss_my),
+                               t2n(loss_ref) + t2n(delta), rtol=5e-3)
+
+
+def test_diffusion_loss_parity_sampled_t(ref, diffusion_pair):
+    """Training estimator (t0_always=False) incl. an in-batch t=0 row."""
+    from unittest import mock
+
+    from hierdiff_tpu.models.diffusion import CoarseDiffusion
+
+    model_t, ours, params, T = diffusion_pair
+    B = 2
+    x, h, nm, em, eps, _ = _diffusion_inputs(T, seed=33)
+    t_int = np.array([[0], [17]], np.int64)   # row 0 exercises the t=0 branch
+
+    model_t.sample_combined_position_feature_noise = \
+        lambda n_samples, n_nodes, node_mask: torch.tensor(eps)
+    with mock.patch("torch.randint", return_value=torch.tensor(t_int)), torch.no_grad():
+        loss_ref, _ = model_t.compute_loss(
+            torch.tensor(x), torch.tensor(h), torch.tensor(nm).bool(),
+            torch.tensor(em), None, t0_always=False)
+
+    with jax.default_matmul_precision("highest"):
+        loss_my, info = ours.apply(
+            params, jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(h),
+            jnp.asarray(nm), jnp.asarray(em), None, False, False,
+            t_int=jnp.asarray(t_int), eps=jnp.asarray(eps),
+            method=CoarseDiffusion.compute_loss)
+
+    # stray-colon correction applies to rows with t == 0 (masked branch),
+    # scaled by the (T+1) estimator factor
+    with torch.no_grad():
+        xh_t = torch.cat([torch.tensor(x), torch.tensor(h)], dim=2)
+        t = torch.tensor(t_int).float() / T
+        gamma_t = model_t.inflate_batch_array(model_t.gamma(t), xh_t)
+        z_t = (model_t.alpha(gamma_t, xh_t) * xh_t
+               + model_t.sigma(gamma_t, xh_t) * torch.tensor(eps))
+        net = model_t.phi(z_t, t, torch.tensor(nm).bool(), torch.tensor(em), None)
+        delta = _stray_colon_delta(model_t, xh_t, torch.tensor(eps), gamma_t, net)
+        t_is_zero = (torch.tensor(t_int) == 0).float().squeeze(1)
+        delta = delta * t_is_zero * (T + 1)
+    np.testing.assert_allclose(np.asarray(loss_my),
+                               t2n(loss_ref) + t2n(delta), rtol=5e-3)

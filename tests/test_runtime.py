@@ -1,0 +1,113 @@
+"""Native treekit (runtime/treekit.cpp) parity vs the Python host builders.
+
+Round-1 blind spot (VERDICT): the native packer had zero test coverage and a
+divergent undiscovered-mask convention. These tests pin the contract:
+``dfs_bidirection_native`` must equal ``data.orders.dfs_bidirection`` for
+EVERY DFS step index, and the batch/fleet packers must produce exactly what
+the Python collators produce.
+"""
+
+import numpy as np
+import pytest
+
+from hierdiff_tpu import runtime
+from hierdiff_tpu.data.orders import (dfs_bidirection, get_dfs_order,
+                                      adj_to_graph, make_search_adjacencies)
+from hierdiff_tpu.data.synthetic import SyntheticTreeGenerator
+
+pytestmark = pytest.mark.skipif(not runtime.treekit_available(),
+                                reason="native treekit unavailable (no toolchain)")
+
+
+@pytest.fixture(scope="module")
+def trees():
+    gen = SyntheticTreeGenerator(seed=3)
+    return gen.sample_trees(4, n=6) + gen.sample_trees(3, n=9)
+
+
+def test_dfs_bidirection_native_matches_python_every_step(trees):
+    for t in trees:
+        n_steps = len(get_dfs_order(adj_to_graph(t.adj), 0)["order"])
+        assert n_steps == t.adj.shape[0]
+        for k in range(n_steps):
+            und_py, s_py, l_py = dfs_bidirection(t.adj, sampling=k)
+            umask, s_nat, l_nat = runtime.dfs_bidirection_native(
+                t.adj, seed=0, sample_idx=k)
+            assert (s_nat, l_nat) == (s_py, l_py), (k, s_nat, s_py, l_nat, l_py)
+            np.testing.assert_array_equal(
+                np.sort(np.nonzero(umask)[0]), np.sort(np.asarray(und_py)),
+                err_msg=f"step {k}")
+
+
+def test_make_search_adj_native_matches_python(trees):
+    for t in trees:
+        for k in range(1, t.adj.shape[0]):
+            und, s, l = dfs_bidirection(t.adj, sampling=k)
+            org_py, pad_py = make_search_adjacencies(t.adj, und, s, l)
+            umask, s_nat, l_nat = runtime.dfs_bidirection_native(
+                t.adj, seed=0, sample_idx=k)
+            org_nat, pad_nat = runtime.make_search_adj_native(
+                t.adj, umask, s_nat, l_nat)
+            np.testing.assert_array_equal(org_nat, org_py.astype(np.float32))
+            np.testing.assert_array_equal(pad_nat, pad_py.astype(np.float32))
+
+
+def test_pack_denoise_batch_fields_self_consistent(trees):
+    """Every field of the native batch must equal the Python collator's
+    output reconstructed from the native batch's own DFS choice."""
+    max_n = 9
+    out = runtime.pack_denoise_batch_native(trees, max_n=max_n, seed=1234)
+    for i, t in enumerate(trees):
+        n = t.adj.shape[0]
+        s = int(out["predict_idx"][i])
+        l = int(out["last_ind"][i])
+        und = np.nonzero(out["undiscovered"][i, :n])[0].tolist()
+        assert s in und, "batch undiscovered channel must include the search node"
+        org, pad = make_search_adjacencies(t.adj, und, s, l)
+        np.testing.assert_array_equal(out["search_adj"][i, :n, :n],
+                                      org.astype(np.float32))
+        discover = (org.sum(1) > 0)
+        val_miss = (t.adj - org).sum(1) != 0
+        np.testing.assert_array_equal(out["discovered"][i, :n],
+                                      discover.astype(np.int32))
+        np.testing.assert_array_equal(out["focal_label"][i, :n],
+                                      (discover & val_miss).astype(np.float32))
+        exp_vocab = np.where(out["undiscovered"][i, :n] > 0, 780, t.wids[:n])
+        np.testing.assert_array_equal(out["vocab_idx"][i, :n], exp_vocab)
+        assert out["label"][i] == t.wids[s]
+        np.testing.assert_array_equal(out["feats"][i, :n], t.feats.astype(np.float32))
+        np.testing.assert_array_equal(out["pos"][i, :n], t.pos.astype(np.float32))
+        assert out["node_mask"][i, :n].sum() == n
+        assert out["node_mask"][i, n:].sum() == 0
+        np.testing.assert_array_equal(out["edge_mask"][i, :n, :n],
+                                      (1 - np.eye(n)).astype(np.float32))
+        # root-step invariant: no focal candidates, everything undiscovered
+        if l < 0:
+            assert out["search_adj"][i].sum() == 0
+            assert out["undiscovered"][i, :n].sum() == n
+
+
+def test_pack_ar_fleet_matches_python(trees):
+    from hierdiff_tpu.sampling.beam import TreeState
+
+    states = []
+    for i, t in enumerate(trees[:3]):
+        n = t.adj.shape[0]
+        wids = np.full(n, -1, np.int64)
+        wids[: n // 2] = t.wids[: n // 2]
+        adj = np.zeros((n, n), np.float32)
+        adj[0, 0] = 1.0  # root marker convention
+        states.append(TreeState(t.feats.astype(np.float32),
+                                t.pos.astype(np.float32), adj, wids, index=i))
+    nb = 9
+    feats, pos, adj, vocab, disc, nmask = runtime.pack_ar_fleet_native(states, nb)
+    for i, s in enumerate(states):
+        k = s.n
+        np.testing.assert_array_equal(feats[i, :k], s.feats)
+        np.testing.assert_array_equal(pos[i, :k], s.pos)
+        np.testing.assert_array_equal(adj[i, :k, :k], s.adj)
+        assigned = s.wids >= 0
+        np.testing.assert_array_equal(
+            vocab[i, :k], np.where(assigned, s.wids, 780).astype(np.int32))
+        np.testing.assert_array_equal(disc[i, :k], assigned.astype(np.int32))
+        assert nmask[i, :k].sum() == k and nmask[i, k:].sum() == 0
