@@ -45,10 +45,23 @@ class CoarseModelConfig:
     context_node_nf: int = 0
     remat: bool = False
     use_pallas: bool = False             # fused EGNN inference kernels (ops/egnn_pallas.py)
+    compute_dtype: Optional[str] = None  # 'bfloat16' = bf16 matmul operands, f32 accum
+    dataset: str = "geom"                # geom | qm9 | crossdock (node-count histogram)
+    pocket: bool = False                 # pocket-conditioned (crossdock) variant
+    pocket_cross_edges: bool = True      # mol<->pocket edges (False = reference-exact mask)
 
     @property
     def in_node_nf(self) -> int:
         return 8 if self.node_coarse_type == "prop" else 3
+
+    @property
+    def int_nf(self) -> int:
+        """Integer-valued h dims (diffusion_qm9.py:462-467)."""
+        return 5 if self.node_coarse_type == "prop" else 3
+
+    @property
+    def cont_nf(self) -> int:
+        return 3 if self.node_coarse_type == "prop" else 0
 
 
 @dataclass
@@ -102,6 +115,7 @@ class TrainConfig:
     seed: int = 2022
     workdir: str = "runs/default"
     data: str = "synthetic"              # 'synthetic' | path to preprocessed trees
+    data_split: str = ""                 # optional JSON file list (scripts/split_for_denoise.py)
     num_train_trees: int = 4096          # synthetic pool size
     buckets: Tuple[int, ...] = (8, 16, 24, 32, 48, 64, 96)
 
@@ -131,7 +145,8 @@ def _apply(obj: Any, key: str, value: Any):
         value = float(value)
     elif isinstance(cur, tuple):
         if isinstance(value, str):
-            value = tuple(type(cur[0])(v) for v in value.strip("()[]").split(","))
+            value = tuple(type(cur[0])(v) for v in value.strip("()[]").split(",")
+                          if v.strip())
         else:
             value = tuple(value)
     setattr(tgt, name, value)

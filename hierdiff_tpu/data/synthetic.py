@@ -18,7 +18,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from hierdiff_tpu.data.assets import load_geom_histogram, load_vocab_fps, load_vocab_smiles
+from hierdiff_tpu.data.assets import load_histogram, load_vocab_fps, load_vocab_smiles
 
 
 @dataclass
@@ -33,9 +33,9 @@ class SyntheticTree:
 
 
 class SyntheticTreeGenerator:
-    def __init__(self, seed: int = 0, mode: str = "prop"):
+    def __init__(self, seed: int = 0, mode: str = "prop", dataset: str = "geom"):
         self.rng = np.random.default_rng(seed)
-        hist = load_geom_histogram()
+        hist = load_histogram(dataset)
         self.counts = np.array(sorted(hist.keys()))
         p = np.array([hist[int(c)] for c in self.counts], dtype=np.float64)
         self.count_probs = p / p.sum()
@@ -66,12 +66,18 @@ class SyntheticTreeGenerator:
         pos -= pos.mean(axis=0, keepdims=True)
 
         wids = rng.integers(0, len(self.smiles), size=n)
-        fp = self.fp_table[wids]                       # (n, 5)
-        hbd = rng.poisson(0.8, size=n).clip(0, 6).astype(np.float64)
-        tpsa = rng.gamma(2.0, 1.0, size=n)             # /10-scaled TPSA-like
-        asa = 2.0 + rng.gamma(2.0, 1.5, size=n)        # /10-scaled ASA-like
-        feats = np.concatenate([hbd[:, None], fp, tpsa[:, None], asa[:, None]], axis=1)
-        sizes = fp[:, 3].astype(np.int64)              # col 3 = heavy-atom count
+        fp = self.fp_table[wids]                       # (n, 5) prop | (n, 3) elem
+        if self.mode == "elem":
+            # elem coarse features are the bare 3-column element-count fp
+            # (blur_utils.py:86-87); heavy atoms = sum of element counts
+            feats = fp
+            sizes = fp.sum(axis=1).astype(np.int64)
+        else:
+            hbd = rng.poisson(0.8, size=n).clip(0, 6).astype(np.float64)
+            tpsa = rng.gamma(2.0, 1.0, size=n)             # /10-scaled TPSA-like
+            asa = 2.0 + rng.gamma(2.0, 1.5, size=n)        # /10-scaled ASA-like
+            feats = np.concatenate([hbd[:, None], fp, tpsa[:, None], asa[:, None]], axis=1)
+            sizes = fp[:, 3].astype(np.int64)              # col 3 = heavy-atom count
         return SyntheticTree(feats=feats.astype(np.float32), pos=pos.astype(np.float32),
                              adj=adj, wids=wids, sizes=sizes)
 

@@ -77,6 +77,7 @@ class CoarseDiffusion(nn.Module):
     context_node_nf: int = 0
     remat: bool = False
     use_pallas: bool = False
+    compute_dtype: Optional[str] = None  # 'bfloat16' = bf16 matmul operands
     pocket: bool = False           # pocket-conditioned (crossdock) variant
     # The reference's pocket edge mask is BLOCK-DIAGONAL (mol-mol +
     # pocket-pocket only, diffusion_qm9.py:714-719, 369-371), which leaves
@@ -115,6 +116,7 @@ class CoarseDiffusion(nn.Module):
             condition_time=self.condition_time,
             remat=self.remat,
             use_pallas=self.use_pallas,
+            compute_dtype=self.compute_dtype,
         )
 
     # --- schedule access ---------------------------------------------------

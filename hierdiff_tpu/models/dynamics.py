@@ -44,6 +44,7 @@ class EGNNDynamics(nn.Module):
     condition_time: bool = True
     remat: bool = False
     use_pallas: bool = False
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -93,6 +94,7 @@ class EGNNDynamics(nn.Module):
             aggregation_method=self.aggregation_method,
             remat=self.remat,
             use_pallas=self.use_pallas,
+            compute_dtype=self.compute_dtype,
             name="egnn",
         )(h, x, node_mask, edge_mask)
 

@@ -46,6 +46,20 @@ def xavier_scaled_init(gain: float):
     return init
 
 
+def _mm(a: Array, w: Array, dtype) -> Array:
+    """Matmul with optional reduced-precision operands, f32 accumulation.
+
+    With ``dtype='bfloat16'`` the MXU runs single-pass bf16 passes instead of
+    the 3-pass f32 emulation — ~3x on the (B, N, N, H) pairwise matmuls that
+    dominate EGNN cost — while sums still accumulate in f32. ``None`` keeps
+    full f32 operands (exact reference numerics).
+    """
+    if dtype is None:
+        return a @ w
+    return jnp.dot(a.astype(dtype), w.astype(dtype),
+                   preferred_element_type=jnp.float32)
+
+
 def coord2diff_dense(x: Array, norm_constant: float = 1.0):
     """Pairwise squared distances and normalized difference vectors.
 
@@ -99,6 +113,7 @@ class DenseGCL(nn.Module):
     aggregation_method: str = "sum"
     attention: bool = False
     use_pallas: bool = False   # fused inference kernel (ops/egnn_pallas.py)
+    compute_dtype: Optional[str] = None  # e.g. 'bfloat16'; None = f32 matmuls
 
     def _params(self, h_dim: int, e_dim: int):
         hnf = self.hidden_nf
@@ -132,14 +147,15 @@ class DenseGCL(nn.Module):
             return fused_gcl(h, edge_attr, edge_mask, node_mask, p,
                              self.normalization_factor, self.attention)
 
-        ei = p["edge_in"]
-        mij = ((h @ ei["w_src"])[:, :, None, :] + (h @ ei["w_dst"])[:, None, :, :]
-               + edge_attr @ ei["w_e"] + ei["bias"])
+        ei, dt = p["edge_in"], self.compute_dtype
+        mij = (_mm(h, ei["w_src"], dt)[:, :, None, :]
+               + _mm(h, ei["w_dst"], dt)[:, None, :, :]
+               + _mm(edge_attr, ei["w_e"], dt) + ei["bias"])
         mij = nn.silu(mij)
-        mij = nn.silu(mij @ p["edge_out"]["kernel"] + p["edge_out"]["bias"])
+        mij = nn.silu(_mm(mij, p["edge_out"]["kernel"], dt) + p["edge_out"]["bias"])
 
         if self.attention:
-            att = nn.sigmoid(mij @ p["att"]["kernel"] + p["att"]["bias"])
+            att = nn.sigmoid(_mm(mij, p["att"]["kernel"], dt) + p["att"]["bias"])
             mij = mij * att
 
         mij = mij * edge_mask
@@ -151,9 +167,9 @@ class DenseGCL(nn.Module):
         else:
             raise ValueError(self.aggregation_method)
 
-        out = jnp.concatenate([h, agg], axis=-1) @ p["node_in"]["kernel"] + p["node_in"]["bias"]
+        out = _mm(jnp.concatenate([h, agg], axis=-1), p["node_in"]["kernel"], dt) + p["node_in"]["bias"]
         out = nn.silu(out)
-        out = out @ p["node_out"]["kernel"] + p["node_out"]["bias"]
+        out = _mm(out, p["node_out"]["kernel"], dt) + p["node_out"]["bias"]
         h = h + out
         return h * node_mask
 
@@ -171,6 +187,7 @@ class DenseEquivariantUpdate(nn.Module):
     tanh: bool = False
     coords_range: float = 10.0
     use_pallas: bool = False
+    compute_dtype: Optional[str] = None
 
     def _params(self, h_dim: int, e_dim: int):
         hnf = self.hidden_nf
@@ -199,11 +216,14 @@ class DenseEquivariantUpdate(nn.Module):
             return fused_coord_update(h, edge_attr, coord_diff, x, edge_mask,
                                       node_mask, p, self.normalization_factor,
                                       self.tanh, self.coords_range)
-        ci = p["coord_in"]
-        inp = ((h @ ci["w_src"])[:, :, None, :] + (h @ ci["w_dst"])[:, None, :, :]
-               + edge_attr @ ci["w_e"] + ci["bias"])
+        ci, dt = p["coord_in"], self.compute_dtype
+        inp = (_mm(h, ci["w_src"], dt)[:, :, None, :]
+               + _mm(h, ci["w_dst"], dt)[:, None, :, :]
+               + _mm(edge_attr, ci["w_e"], dt) + ci["bias"])
         inp = nn.silu(inp)
-        inp = nn.silu(inp @ p["coord_mid"]["kernel"] + p["coord_mid"]["bias"])
+        inp = nn.silu(_mm(inp, p["coord_mid"]["kernel"], dt) + p["coord_mid"]["bias"])
+        # the scalar head stays f32: it multiplies coordinate differences, and
+        # equivariant position updates are the precision-critical path
         scalar = inp @ p["coord_head"]["kernel"]
         if self.tanh:
             scalar = jnp.tanh(scalar) * self.coords_range
@@ -233,6 +253,7 @@ class DenseEquivariantBlock(nn.Module):
     normalization_factor: float = 100.0
     aggregation_method: str = "sum"
     use_pallas: bool = False
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, h: Array, x: Array, distances0: Array, node_mask: Array, edge_mask: Array):
@@ -245,6 +266,7 @@ class DenseEquivariantBlock(nn.Module):
                 aggregation_method=self.aggregation_method,
                 attention=self.attention,
                 use_pallas=self.use_pallas,
+                compute_dtype=self.compute_dtype,
                 name=f"gcl_{i}",
             )(h, edge_attr, node_mask, edge_mask)
         x = DenseEquivariantUpdate(
@@ -254,6 +276,7 @@ class DenseEquivariantBlock(nn.Module):
             tanh=self.tanh,
             coords_range=self.coords_range,
             use_pallas=self.use_pallas,
+            compute_dtype=self.compute_dtype,
             name="gcl_equiv",
         )(h, x, coord_diff, edge_attr, node_mask, edge_mask)
         return h * node_mask, x
@@ -279,6 +302,7 @@ class DenseEGNN(nn.Module):
     aggregation_method: str = "sum"
     remat: bool = False
     use_pallas: bool = False
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, h: Array, x: Array, node_mask: Array, edge_mask: Array):
@@ -300,6 +324,7 @@ class DenseEGNN(nn.Module):
                 normalization_factor=self.normalization_factor,
                 aggregation_method=self.aggregation_method,
                 use_pallas=self.use_pallas,
+                compute_dtype=self.compute_dtype,
                 name=f"e_block_{i}",
             )(h, x, distances0, node_mask, edge_mask)
         h = nn.Dense(out_nf, kernel_init=torch_linear_init, name="embedding_out")(h)

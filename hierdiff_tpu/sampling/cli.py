@@ -51,15 +51,23 @@ def load_checkpoint_params(workdir: str, prefer_best: bool = True):
     return {"params": params["params"] if "params" in params else params}, cfg, step
 
 
-def build_coarse_from_cfg(cfg: dict, use_pallas: Optional[bool] = None):
+def build_coarse_from_cfg(cfg: dict, use_pallas: Optional[bool] = None,
+                          compute_dtype: Optional[str] = None):
     from hierdiff_tpu.models.diffusion import CoarseDiffusion
 
     m = cfg["coarse"]
     if use_pallas is None:
         use_pallas = bool(m.get("use_pallas", False))
+    if compute_dtype is None:
+        compute_dtype = m.get("compute_dtype")
     return CoarseDiffusion(
         use_pallas=use_pallas,
+        compute_dtype=compute_dtype,
+        pocket=m.get("pocket", False),
+        pocket_cross_edges=m.get("pocket_cross_edges", True),
         in_node_nf=8 if m["node_coarse_type"] == "prop" else 3,
+        int_nf=5 if m["node_coarse_type"] == "prop" else 3,
+        cont_nf=3 if m["node_coarse_type"] == "prop" else 0,
         timesteps=m["timesteps"], loss_type=m["loss_type"],
         noise_schedule=m["noise_schedule"], noise_precision=m["noise_precision"],
         norm_values=tuple(m["norm_values"]), norm_biases=tuple(m["norm_biases"]),
@@ -96,7 +104,8 @@ def cmd_coarse(args):
     from hierdiff_tpu.sampling.coarse import make_masks_for_counts, sample_coarse
 
     params, cfg, step = load_checkpoint_params(args.workdir)
-    model = build_coarse_from_cfg(cfg, use_pallas=args.pallas or None)
+    model = build_coarse_from_cfg(cfg, use_pallas=args.pallas or None,
+                                  compute_dtype="bfloat16" if args.bf16 else None)
     print(f"loaded coarse checkpoint @ step {step}")
 
     dist = DistributionNodes(load_geom_histogram())
@@ -124,7 +133,8 @@ def cmd_generate(args):
     from hierdiff_tpu.sampling.pipeline import GenerationPipeline
 
     cparams, ccfg, cstep = load_checkpoint_params(args.workdir)
-    coarse = build_coarse_from_cfg(ccfg, use_pallas=args.pallas or None)
+    coarse = build_coarse_from_cfg(ccfg, use_pallas=args.pallas or None,
+                                   compute_dtype="bfloat16" if args.bf16 else None)
     dparams, dcfg, dstep = load_checkpoint_params(args.denoise_workdir)
     denoise = build_denoise_from_cfg(dcfg)
     print(f"coarse @ {cstep}, denoise @ {dstep}")
@@ -184,6 +194,8 @@ def main(argv=None):
     pc.add_argument("--batch-size", type=int, default=64)
     pc.add_argument("--max-nodes", type=int, default=0)
     pc.add_argument("--seed", type=int, default=2022)
+    pc.add_argument("--bf16", action="store_true",
+                    help="bf16 matmul operands in the EGNN (f32 accumulation)")
     pc.add_argument("--pallas", action="store_true",
                     help="fused Pallas EGNN kernels for the sampling scan")
     pc.add_argument("--out", default="sample_results.pkl")
@@ -199,6 +211,7 @@ def main(argv=None):
     pg.add_argument("--workers", type=int, default=0)
     pg.add_argument("--seed", type=int, default=2022)
     pg.add_argument("--pallas", action="store_true")
+    pg.add_argument("--bf16", action="store_true")
     pg.add_argument("--data-parallel", action=argparse.BooleanOptionalAction,
                     default=True, help="shard generation over all devices")
     pg.add_argument("--out", default="generated.pkl")

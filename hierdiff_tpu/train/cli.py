@@ -33,14 +33,17 @@ def build_coarse(cfg):
 
     m = cfg.coarse
     model = CoarseDiffusion(
-        in_node_nf=m.in_node_nf, timesteps=m.timesteps, loss_type=m.loss_type,
+        in_node_nf=m.in_node_nf, int_nf=m.int_nf, cont_nf=m.cont_nf,
+        timesteps=m.timesteps, loss_type=m.loss_type,
         noise_schedule=m.noise_schedule, noise_precision=m.noise_precision,
         norm_values=m.norm_values, norm_biases=m.norm_biases,
         hidden_nf=m.hidden_nf, n_layers=m.n_layers, inv_sublayers=m.inv_sublayers,
         attention=m.attention, tanh=m.tanh, coords_range=m.coords_range,
         norm_constant=m.norm_constant, normalization_factor=m.normalization_factor,
         aggregation_method=m.aggregation_method, condition_time=m.condition_time,
-        context_node_nf=m.context_node_nf, remat=m.remat, use_pallas=m.use_pallas)
+        context_node_nf=m.context_node_nf, remat=m.remat, use_pallas=m.use_pallas,
+        compute_dtype=m.compute_dtype, pocket=m.pocket,
+        pocket_cross_edges=m.pocket_cross_edges)
 
     def loss_fn(params, batch, rng):
         out = model.apply(params, batch, rng, train=True)
@@ -94,11 +97,16 @@ def main(argv=None):
     parser.add_argument("--find-lr", action="store_true",
                         help="LR sweep instead of training (writes lr_find.csv; "
                              "reference find_lr mode, endiffusion/train.py:93-125)")
+    parser.add_argument("--wandb", action="store_true",
+                        help="log to Weights & Biases when installed (the "
+                             "reference's default logger composition)")
     parser.add_argument("overrides", nargs="*", help="dotted overrides: train.max_steps=100")
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config, args.overrides)
     cfg.stage = args.stage
+    from hierdiff_tpu.utils.log import print_config
+    print_config(cfg)
     build_model, make_iter = BUILDERS[args.stage]
     model, loss_fn = build_model(cfg)
 
@@ -117,7 +125,7 @@ def main(argv=None):
     else:
         params = jax.jit(model.init)(rng, first)
 
-    trainer = Trainer(cfg, loss_fn, params, monitor="loss")
+    trainer = Trainer(cfg, loss_fn, params, monitor="loss", wandb=args.wandb)
     if args.find_lr:
         trainer.find_lr(train_it, rng)
         return

@@ -26,10 +26,17 @@ def load_tree_pool(cfg: Config, seed: int = 0) -> List[SyntheticTree]:
     """Synthetic pool, or .npz tree files from a preprocessing run."""
     src = cfg.train.data
     if src == "synthetic":
-        gen = SyntheticTreeGenerator(seed=seed)
+        gen = SyntheticTreeGenerator(seed=seed, mode=cfg.coarse.node_coarse_type,
+                                     dataset=cfg.coarse.dataset)
         return gen.sample_trees(cfg.train.num_train_trees)
+    names = None
+    if cfg.train.data_split:
+        import json
+        names = set(json.loads(Path(cfg.train.data_split).read_text()))
     pool = []
     for p in sorted(Path(src).glob("*.npz")):
+        if names is not None and p.name not in names:
+            continue
         z = np.load(p)
         pool.append(SyntheticTree(feats=z["feats"], pos=z["pos"], adj=z["adj"],
                                   wids=z["wids"], sizes=z["sizes"]))

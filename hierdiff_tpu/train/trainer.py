@@ -66,7 +66,8 @@ class Trainer:
 
     def __init__(self, cfg: Config, loss_fn: Callable, init_params,
                  data_parallel: bool = True, monitor: str = "loss",
-                 eval_on_ema: bool = True, tensorboard: bool = True):
+                 eval_on_ema: bool = True, tensorboard: bool = True,
+                 wandb: bool = False):
         self.cfg = cfg
         self.workdir = Path(cfg.train.workdir)
         self.workdir.mkdir(parents=True, exist_ok=True)
@@ -105,6 +106,17 @@ class Trainer:
                 self._tb = SummaryWriter(str(self.workdir / "tb"))
             except Exception:
                 self._tb = None
+        # W&B is optional and absent in hermetic environments; the reference
+        # composes W&B + TB + CSV (endiffusion/conf/logging/*.yaml)
+        self._wandb = None
+        if wandb:
+            try:
+                import wandb as _wandb
+                self._wandb = _wandb.init(project="hierdiff-tpu",
+                                          dir=str(self.workdir),
+                                          config=config_to_dict(cfg))
+            except Exception as e:
+                print(f"[log] wandb unavailable ({e}); CSV/TB only")
 
     # --- checkpointing -----------------------------------------------------
 
@@ -151,6 +163,9 @@ class Trainer:
             for k, v in metrics.items():
                 self._tb.scalar(f"{split}/{k}", float(v), step)
             self._tb.flush()
+        if self._wandb is not None:
+            self._wandb.log({f"{split}/{k}": float(v) for k, v in metrics.items()},
+                            step=step)
 
     # --- loop --------------------------------------------------------------
 

@@ -127,3 +127,22 @@ def test_dynamics_output_is_com_free_and_equivariant():
     xh_t = jnp.concatenate([(x + jnp.array([1.0, 2.0, 3.0])) * nm, h], axis=2)
     out_t = dyn.apply(params, t, xh_t, nm, em)
     np.testing.assert_allclose(np.asarray(out_t[:, :, :3]), np.asarray(vel), atol=2e-4)
+
+
+def test_egnn_bf16_compute_matches_f32():
+    """compute_dtype='bfloat16' keeps params/outputs f32 and tracks the f32
+    path within bf16 operand-rounding error (accumulation stays f32)."""
+    m32 = small_egnn()
+    m16 = DenseEGNN(hidden_nf=32, out_node_nf=5, n_layers=2, inv_sublayers=2,
+                    attention=True, tanh=True, coords_range=30.0,
+                    norm_constant=0.0, normalization_factor=10.0,
+                    compute_dtype="bfloat16")
+    h, x, nm, em = batch(jax.random.PRNGKey(3))
+    params = m32.init(jax.random.PRNGKey(0), h, x, nm, em)
+    h32, x32 = m32.apply(params, h, x, nm, em)
+    h16, x16 = m16.apply(params, h, x, nm, em)  # identical param tree
+    assert h16.dtype == jnp.float32 and x16.dtype == jnp.float32
+    scale_h = float(jnp.max(jnp.abs(h32))) + 1e-6
+    scale_x = float(jnp.max(jnp.abs(x32))) + 1e-6
+    assert float(jnp.max(jnp.abs(h16 - h32))) / scale_h < 0.05
+    assert float(jnp.max(jnp.abs(x16 - x32))) / scale_x < 0.05
