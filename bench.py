@@ -67,17 +67,23 @@ def make_models(coarse_kw=None, denoise_kw=None):
     return coarse, cparams, denoise
 
 
-def _flops_of(fn, *args):
-    """Total FLOPs of a jitted call from XLA's compiled cost analysis."""
-    try:
-        import jax
-        compiled = jax.jit(fn).lower(*args).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) if ca else 0.0
-    except Exception:
-        return 0.0
+def _egnn_matmul_flops(b: int, n: int, h: int, n_layers: int, inv: int,
+                       e_dim: int = 2, attention: bool = True) -> float:
+    """Analytic matmul FLOPs of one DenseEGNN forward (ops/egnn.py shapes).
+
+    XLA's compiled cost_analysis is unreliable through the axon tunnel
+    backend (returns ~3 orders of magnitude low), so MFU is computed from
+    the exact matmul count: 2*rows*k*m per dense layer, pairwise layers over
+    B*N^2 rows. Elementwise FLOPs are excluded (a few % at H=256)."""
+    mm = lambda rows, k, m: 2.0 * rows * k * m
+    gcl = (2 * mm(b * n, h, h)            # edge_in w_src + w_dst
+           + mm(b * n * n, e_dim, h)      # edge_in w_e
+           + mm(b * n * n, h, h)          # edge_out
+           + (mm(b * n * n, h, 1) if attention else 0.0)
+           + mm(b * n, 2 * h, h) + mm(b * n, h, h))   # node MLP
+    coord = (2 * mm(b * n, h, h) + mm(b * n * n, e_dim, h)
+             + mm(b * n * n, h, h) + mm(b * n * n, h, 1))
+    return n_layers * (inv * gcl + coord)
 
 
 def bench_coarse(batch_size: int, max_n: int = 12, use_pallas: bool = False,
@@ -99,8 +105,9 @@ def bench_coarse(batch_size: int, max_n: int = 12, use_pallas: bool = False,
     for i in range(2):  # compile + settle (the tunnel can report early)
         x, h = sample_coarse(coarse, cparams, jax.random.PRNGKey(2 + i), nm, em)
         np.asarray(x)
-    flops = _flops_of(
-        lambda r: sample_coarse(coarse, cparams, r, nm, em), jax.random.PRNGKey(0))
+    # T+1 EGNN forwards (T scan steps + the final x|z0 read-out)
+    flops = (coarse.timesteps + 1) * _egnn_matmul_flops(
+        batch_size, max_n, coarse.hidden_nf, coarse.n_layers, coarse.inv_sublayers)
     # best-of-reps: the tunneled TPU is shared, and run-to-run contention
     # swings wall clock ~2x; the fastest rep is the uncontended throughput
     reps, times = 5, []
@@ -171,9 +178,11 @@ def bench_pipeline(n_molecules: int, beam: int):
     result = pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False)
     dt = time.perf_counter() - t0
     ok = sum(t is not None for t in result.trees)
+    st = result.stats or {}
     _emit("pipeline_molecules_per_sec_per_chip", ok / dt,
           f"molecules/sec/chip (1000-step EDM + beam-{beam} lattice AR, {n_molecules} molecules)",
-          None)
+          None, t_coarse=round(st.get("t_coarse", 0.0), 2),
+          t_fine=round(st.get("t_fine", 0.0), 2))
 
 
 def main():

@@ -1,0 +1,66 @@
+"""Micro-bench: one DenseGCL / coord-update layer, XLA vs Pallas, on TPU.
+
+Times a single fused layer call (not the whole sampler) so kernel tweaks get
+a fast feedback loop through the tunnel. Prints one JSON line per config.
+
+  python scripts/kernel_probe.py [--n 48 96] [--batch 64] [--reps 20]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def probe(b: int, n: int, hidden: int, reps: int):
+    import jax
+    import jax.numpy as jnp
+
+    from hierdiff_tpu.ops.egnn import DenseGCL, coord2diff_dense
+
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.standard_normal((b, n, hidden)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    nmask = jnp.ones((b, n, 1), jnp.float32)
+    emask = jnp.asarray((np.ones((n, n)) - np.eye(n))[None, :, :, None]
+                        .repeat(b, 0).astype(np.float32))
+    radial, _ = coord2diff_dense(x)
+    eattr = jnp.concatenate([radial, radial], -1)
+
+    gcl = DenseGCL(hidden, normalization_factor=10.0, attention=True)
+    params = gcl.init(jax.random.PRNGKey(0), h, eattr, nmask, emask)
+
+    out = {}
+    for tag, kw in [("xla", {}), ("pallas", {"use_pallas": True}),
+                    ("xla-bf16", {"compute_dtype": "bfloat16"})]:
+        m = DenseGCL(hidden, normalization_factor=10.0, attention=True, **kw)
+        fn = jax.jit(lambda p, *a: m.apply(p, *a))
+        r = fn(params, h, eattr, nmask, emask)
+        np.asarray(r)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = fn(params, h, eattr, nmask, emask)
+            r.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        flops = 2.0 * b * n * n * hidden * hidden  # edge_out dominates
+        out[tag] = {"ms": round(dt * 1e3, 3),
+                    "tflops_lb": round(flops / dt / 1e12, 1)}
+    print(json.dumps({"b": b, "n": n, "hidden": hidden, **out}), flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, nargs="*", default=[48, 96])
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--reps", type=int, default=20)
+    args = p.parse_args()
+    for n in args.n:
+        probe(args.batch, n, args.hidden, args.reps)
+
+
+if __name__ == "__main__":
+    main()
