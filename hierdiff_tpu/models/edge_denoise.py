@@ -71,6 +71,13 @@ class EdgeDenoise(nn.Module):
     # gated=False; None -> max_depth (or N).
     max_depth_node: Optional[int] = None
     top_k: int = 16                   # type candidates returned by ar_step
+    # inference-only: bound each depth scan by the batch's ACTUAL max BFS
+    # depth via lax.while_loop instead of the static N-step nn.scan. Exact
+    # for gated=True (out-of-range iterations are no-ops: active mask empty
+    # -> recv gate 0 -> identity); cuts the latency-dominated tiny tree
+    # passes 2-4x. while_loop has no reverse-mode, so training keeps the
+    # static scan; samplers flip this on via model.clone(dynamic_depth=True).
+    dynamic_depth: bool = False
 
     def setup(self):
         h = self.hidden_nf
@@ -149,6 +156,27 @@ class EdgeDenoise(nn.Module):
         maxd = jnp.max(depth, axis=1)                       # (B,) per-sample
         self_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
         node0 = (jnp.arange(n)[None, :] == 0) & jnp.ones((b, 1), bool)
+
+        if self.dynamic_depth and self.gated:
+            # circle layer, then while_loop bounded by the batch max depth;
+            # ks beyond it are exact no-ops under gated=True (see attribute
+            # doc), so this equals the static scan bit-for-bit
+            h, x = getattr(self, layer_name).tree_pass(h, x, self_idx, node0, node_mask)
+            kmax = jnp.minimum(jnp.max(maxd), n_steps - 1).astype(jnp.int32)
+
+            def cond(mdl, c):
+                return c[2] < c[3]
+
+            def body(mdl, c):
+                h, x, k, km = c
+                d = maxd - k
+                active = (depth == d[:, None]) & (d[:, None] >= 1)
+                h, x = getattr(mdl, layer_name).tree_pass(h, x, parent, active, node_mask)
+                return (h, x, k + 1, km)
+
+            h, x, _, _ = nn.while_loop(cond, body, self,
+                                       (h, x, jnp.zeros((), jnp.int32), kmax))
+            return h, x
 
         def step(mdl, carry, k):
             h, x = carry

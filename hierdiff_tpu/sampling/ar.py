@@ -38,6 +38,9 @@ class DeviceExpander:
 
     def __init__(self, model: EdgeDenoise, params,
                  allowed_fn: Optional[Callable[[np.ndarray], List[np.ndarray]]] = None):
+        if model.gated and not model.dynamic_depth:
+            # inference-only depth bound (see EdgeDenoise.dynamic_depth)
+            model = model.clone(dynamic_depth=True)
         self.model = model
         self.params = params
         self.allowed_fn = allowed_fn

@@ -107,6 +107,10 @@ class LatticeSampler:
         """allowed_fn(blur_feats (n,F)) -> per-node allowed vocab index
         arrays (the array_dict/size restriction of ar_sampling.py:62-118);
         None disables the restriction (nosize variant)."""
+        if model.gated and not model.dynamic_depth:
+            # inference: bound depth scans by actual tree depth (exact under
+            # gated=True; see EdgeDenoise.dynamic_depth)
+            model = model.clone(dynamic_depth=True)
         self.model = model
         self.params = params
         self.beam_size = beam_size

@@ -25,11 +25,14 @@ def main():
     p.add_argument("--workdir", required=True)
     p.add_argument("--num", type=int, default=256)
     p.add_argument("--max-nodes", type=int, default=48)
+    p.add_argument("--bf16", action="store_true",
+                   help="sample with bf16 matmul operands (quality check of "
+                        "coarse.compute_dtype on trained weights)")
     args = p.parse_args()
 
     params, cfg, step = load_checkpoint_params(args.workdir)
-    model = build_coarse_from_cfg(cfg)
-    print(f"checkpoint step {step}")
+    model = build_coarse_from_cfg(cfg, compute_dtype="bfloat16" if args.bf16 else None)
+    print(f"checkpoint step {step}" + (" [bf16]" if args.bf16 else ""))
 
     dist = DistributionNodes(load_geom_histogram())
     rng_np = np.random.default_rng(0)

@@ -321,3 +321,32 @@ def test_refine_hook_and_finalize(gen):
     # a mostly-broken tree is rejected
     hook3 = RefineHook(model, params, vocab_sizes, can_assemble=lambda s, n_: False)
     assert hook3.finalize(state) is None
+
+
+def test_dynamic_depth_lattice_parity():
+    """dynamic_depth=True (while_loop bounded by actual max depth) equals the
+    static N-step scan bit-for-bit under gated=True — out-of-range depth
+    iterations are exact no-ops (recv gate 0)."""
+    gen = SyntheticTreeGenerator(seed=5)
+    trees = gen.sample_trees(4, n=10)
+    b, nb = len(trees), 16
+    feats = np.zeros((b, nb, 8), np.float32)
+    pos = np.zeros((b, nb, 3), np.float32)
+    nmask = np.zeros((b, nb, 1), np.float32)
+    for i, t in enumerate(trees):
+        n = t.feats.shape[0]
+        feats[i, :n], pos[i, :n], nmask[i, :n] = t.feats, t.pos, 1.0
+
+    static = EdgeDenoise(hidden_nf=32, n_layers_full=1, n_layers_focal=1)
+    dynamic = static.clone(dynamic_depth=True)
+    rng = random.Random(0)
+    dummy = {k: jnp.asarray(v) for k, v in
+             make_denoise_batch(gen.sample_trees(2, n=6), rng, max_n=8).items()}
+    params = jax.jit(static.init)(jax.random.PRNGKey(0), dummy)
+
+    args = (jnp.asarray(feats), jnp.asarray(pos), jnp.asarray(nmask))
+    out_s = static.apply(params, *args, method=EdgeDenoise.ar_lattice)
+    out_d = dynamic.apply(params, *args, method=EdgeDenoise.ar_lattice)
+    for k in out_s:
+        np.testing.assert_allclose(np.asarray(out_s[k]), np.asarray(out_d[k]),
+                                   rtol=0, atol=1e-6, err_msg=k)
