@@ -154,7 +154,7 @@ def bench_fine(n_molecules: int, beam: int, max_n: int = 12):
           None)
 
 
-def bench_pipeline(n_molecules: int, beam: int):
+def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64):
     import jax
     import random
     import jax.numpy as jnp
@@ -173,9 +173,11 @@ def bench_pipeline(n_molecules: int, beam: int):
                               histogram=load_geom_histogram(), beam_size=beam)
     # same key for warmup and timing: molecule sizes (and thus the set of
     # compiled buckets) must match or compiles leak into the timed region
-    pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False)  # compile
+    pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False,
+             batch_size=batch_size)  # compile
     t0 = time.perf_counter()
-    result = pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False)
+    result = pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False,
+                      batch_size=batch_size)
     dt = time.perf_counter() - t0
     ok = sum(t is not None for t in result.trees)
     st = result.stats or {}
@@ -201,7 +203,7 @@ def main():
     elif args.stage == "fine":
         bench_fine(args.num, args.beam, max_n=args.max_n)
     else:
-        bench_pipeline(args.num, args.beam)
+        bench_pipeline(args.num, args.beam, batch_size=args.batch)
 
 
 if __name__ == "__main__":
