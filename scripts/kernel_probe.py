@@ -6,6 +6,11 @@ a fast feedback loop through the tunnel. Prints one JSON line per config.
   python scripts/kernel_probe.py [--n 48 96] [--batch 64] [--reps 20]
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 import json
 import time

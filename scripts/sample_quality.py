@@ -6,6 +6,11 @@ training pool, plus the MMD(rbf) of each channel.
 
     python scripts/sample_quality.py --workdir runs/coarse --num 256
 """
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import argparse
 
 import jax

@@ -15,6 +15,11 @@ feats/pos/adj/wids/sizes). Output: a JSON list of the qualifying file names
       --out data/denoise_split.json [--workers 12]
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 import json
 from multiprocessing import Pool

@@ -8,6 +8,11 @@ config; numbers land in BASELINE.md.
   python scripts/train_throughput.py [--steps 20] [--batch 64]
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 import itertools
 import json
