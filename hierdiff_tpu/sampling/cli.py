@@ -156,15 +156,20 @@ def cmd_generate(args):
         refine_hook = RefineHook(refine, rparams, vocab_sizes)
         print(f"refine @ {rstep}")
 
-    vocab = None
+    vocab, gate = None, None
     if HAS_RDKIT:
+        from hierdiff_tpu.chem.assemble_gate import make_assembly_gate
         from hierdiff_tpu.chem.mol_tree import Vocab
         vocab = Vocab()
+        # per-candidate + final all-nodes assembly gate, memoized per
+        # (fragment, neighbor set) (ar_sampling_nosize.py:199-200, 396-403)
+        gate = make_assembly_gate(vocab)
 
     pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
                               histogram=load_geom_histogram(),
                               beam_size=args.beam, refine_hook=refine_hook,
-                              vocab=vocab, max_n_cap=args.max_nodes or None,
+                              vocab=vocab, can_assemble=gate,
+                              max_n_cap=args.max_nodes or None,
                               mesh=mesh)
     result = pipe.run(jax.random.PRNGKey(args.seed), args.num,
                       reconstruct=HAS_RDKIT, n_workers=args.workers)

@@ -109,3 +109,45 @@ def test_pocket_parser():
     batch = collate_pockets([p, pocket_from_text(pdb, np.array([[50.0, 50, 50]]))])
     assert batch["protein_feat"].shape[0] == 2
     assert batch["protein_feat_mask"][0].sum() == 2
+
+
+def test_assembly_gate_memoizes(monkeypatch):
+    """make_assembly_gate caches per (wid, sorted neighbor wids) and passes
+    untyped/neighborless nodes without touching RDKit."""
+    import numpy as np
+
+    import hierdiff_tpu.chem.assemble_gate as ag
+    import hierdiff_tpu.chem.chemutils as cu
+    from hierdiff_tpu.chem.mol_tree import Vocab
+    from hierdiff_tpu.sampling.beam import TreeState
+
+    calls = []
+
+    def fake_can_assemble(node, node_y=None):
+        calls.append((node.smiles, tuple(n.smiles for n in node.neighbors)))
+        return True
+
+    monkeypatch.setattr(ag, "require_rdkit", lambda *a, **k: None)
+    monkeypatch.setattr(cu, "can_assemble", fake_can_assemble)
+    gate = ag.make_assembly_gate(Vocab())
+
+    n = 4
+    adj = np.zeros((n, n)); adj[0, 1] = adj[1, 0] = 1; adj[1, 2] = adj[2, 1] = 1
+    state = TreeState(feats=np.zeros((n, 8), np.float32),
+                      pos=np.zeros((n, 3), np.float32), adj=adj,
+                      wids=np.array([5, 7, -1, -1], np.int64))
+
+    assert gate(state, 2)          # untyped -> trivially True, no RDKit call
+    assert gate(state, 3)          # isolated -> True
+    assert not calls
+    assert gate(state, 0)          # wid 5, neighbors (7,)
+    assert len(calls) == 1
+    assert gate(state, 0)          # memo hit
+    assert len(calls) == 1
+    assert gate(state, 1)          # wid 7, neighbors (5,) -> distinct key
+    assert len(calls) == 2
+    # same fragment/neighbor multiset on a DIFFERENT state -> memo hit
+    state2 = TreeState(state.feats.copy(), state.pos.copy(), adj.copy(),
+                       np.array([5, 7, -1, -1], np.int64), index=9)
+    assert gate(state2, 0)
+    assert len(calls) == 2
