@@ -22,6 +22,7 @@ from pathlib import Path
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -99,16 +100,33 @@ def build_refine_from_cfg(cfg: dict):
 
 
 def cmd_coarse(args):
-    from hierdiff_tpu.data.assets import load_geom_histogram
+    from hierdiff_tpu.data.assets import load_histogram
     from hierdiff_tpu.ops.distributions import DistributionNodes
-    from hierdiff_tpu.sampling.coarse import make_masks_for_counts, sample_coarse
+    from hierdiff_tpu.sampling.coarse import (make_masks_for_counts,
+                                              sample_coarse,
+                                              sample_coarse_pocket)
 
     params, cfg, step = load_checkpoint_params(args.workdir)
     model = build_coarse_from_cfg(cfg, use_pallas=args.pallas or None,
                                   compute_dtype="bfloat16" if args.bf16 else None)
     print(f"loaded coarse checkpoint @ step {step}")
 
-    dist = DistributionNodes(load_geom_histogram())
+    pocket_batch = None
+    if args.pocket_pdb:
+        # pocket-conditioned (crossdock) sampling: residues within radius of
+        # the given site center condition every molecule in the batch
+        # (reference: diffusion_qm9.py:397-418 sample_batches + read_pdb)
+        from hierdiff_tpu.chem.pocket import collate_pockets, pocket_from_pdb
+        center = np.asarray([float(v) for v in args.pocket_center.split(",")])
+        pocket = pocket_from_pdb(args.pocket_pdb, center.reshape(1, 3),
+                                 radius=args.pocket_radius)
+        if not pocket.residue_type:
+            raise SystemExit(f"no pocket residues within {args.pocket_radius}A "
+                             f"of {args.pocket_center} in {args.pocket_pdb}")
+        print(f"pocket: {len(pocket.residue_type)} CA residues")
+        pocket_batch = collate_pockets([pocket])
+
+    dist = DistributionNodes(load_histogram(cfg["coarse"].get("dataset", "geom")))
     rng_np = np.random.default_rng(args.seed)
     results = []
     key = jax.random.PRNGKey(args.seed)
@@ -118,7 +136,17 @@ def cmd_coarse(args):
         if args.max_nodes:
             counts = np.minimum(counts, args.max_nodes)
         nm, em = make_masks_for_counts(counts)
-        x, h = sample_coarse(model, params, jax.random.fold_in(key, b), nm, em)
+        if pocket_batch is not None:
+            rep = lambda a: jnp.asarray(np.repeat(a, k, axis=0))
+            x, h = sample_coarse_pocket(
+                model, params, jax.random.fold_in(key, b),
+                jnp.asarray(nm), jnp.asarray(em),
+                rep(pocket_batch["protein_feat"]),
+                rep(pocket_batch["protein_pos"]),
+                rep(pocket_batch["protein_feat_mask"]),
+                rep(pocket_batch["protein_edge_mask"]))
+        else:
+            x, h = sample_coarse(model, params, jax.random.fold_in(key, b), nm, em)
         x, h = np.asarray(x), np.asarray(h)
         for i, c in enumerate(counts):
             results.append({"x": x[i, :c], "h": h[i, :c]})
@@ -201,6 +229,13 @@ def main(argv=None):
     pc.add_argument("--seed", type=int, default=2022)
     pc.add_argument("--bf16", action="store_true",
                     help="bf16 matmul operands in the EGNN (f32 accumulation)")
+    pc.add_argument("--pocket-pdb", default="",
+                    help="PDB file for pocket-conditioned sampling "
+                         "(crossdock family; model must be trained with "
+                         "coarse.pocket=true)")
+    pc.add_argument("--pocket-center", default="0,0,0",
+                    help="x,y,z site center the pocket is extracted around")
+    pc.add_argument("--pocket-radius", type=float, default=6.0)
     pc.add_argument("--pallas", action="store_true",
                     help="fused Pallas EGNN kernels for the sampling scan")
     pc.add_argument("--out", default="sample_results.pkl")

@@ -67,12 +67,38 @@ def _sample_bucket_batch(groups, rng: random.Random, batch_size: int):
     return bkt, trees
 
 
+def synthetic_pockets(rng: np.random.Generator, positions: np.ndarray,
+                      node_mask: np.ndarray, k: int = 16) -> Dict[str, np.ndarray]:
+    """Random CA shells around each molecule: residue tokens 1..20 at
+    pocket-like distances (4-8 A from a random molecule node). Stands in for
+    crossdock pocket data so the pocket family trains without the dataset
+    (same tensor schema as chem.pocket.collate_pockets)."""
+    b, n = positions.shape[:2]
+    counts = node_mask[..., 0].sum(axis=1).astype(np.int64)
+    feat = rng.integers(1, 21, (b, k)).astype(np.int32)
+    anchor_idx = rng.integers(0, np.maximum(counts, 1))[:, None]           # (B,1)
+    anchors = np.take_along_axis(positions, anchor_idx[..., None], axis=1)  # (B,1,3)
+    direction = rng.standard_normal((b, k, 3))
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True) + 1e-9
+    radius = 4.0 + 4.0 * rng.random((b, k, 1))
+    pos = (anchors + direction * radius).astype(np.float32)
+    nm = np.ones((b, k, 1), np.float32)
+    em = np.broadcast_to((1.0 - np.eye(k))[None], (b, k, k)).astype(np.float32)
+    return {"protein_feat": feat, "protein_pos": pos,
+            "protein_feat_mask": nm, "protein_edge_mask": em}
+
+
 def coarse_iter(cfg: Config, pool, seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
     rng = random.Random(seed)
+    np_rng = np.random.default_rng(seed)
     groups = _group_by_bucket(pool, cfg.train.buckets)
     while True:
         bkt, trees = _sample_bucket_batch(groups, rng, cfg.train.batch_size)
-        yield collate_coarse(trees, max_n=bkt)
+        batch = collate_coarse(trees, max_n=bkt)
+        if cfg.coarse.pocket and "protein_pos" not in batch:
+            batch.update(synthetic_pockets(np_rng, batch["positions"],
+                                           batch["atom_mask"]))
+        yield batch
 
 
 def denoise_iter(cfg: Config, pool, seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:

@@ -122,3 +122,42 @@ def test_split_for_denoise_filter(tmp_path):
                              f"train.data_split={split}"])
     pool = load_tree_pool(cfg)
     assert len(pool) == 1 and pool[0].feats.shape[0] == 4
+
+
+def test_crossdock_pocket_cli_end_to_end(tmp_path):
+    """Train the pocket family 3 steps through the real CLI (synthetic
+    pockets attached by coarse_iter), then sample pocket-conditioned through
+    cmd_coarse --pocket-pdb on a synthetic PDB."""
+    import pickle
+
+    from hierdiff_tpu.sampling import cli as scli
+    from hierdiff_tpu.train import cli as tcli
+
+    wd = tmp_path / "pocket_run"
+    tcli.main(["coarse", "--config", str(CONFIGS / "coarse_crossdock.yaml"),
+               f"train.workdir={wd}", "train.max_steps=3",
+               "train.checkpoint_every=3", "train.eval_every=1000",
+               "train.log_every=3", "coarse.hidden_nf=32", "coarse.n_layers=1",
+               "coarse.timesteps=8", "train.batch_size=8",
+               "train.num_train_trees=16", "train.buckets=(8,)"])
+
+    pdb = tmp_path / "site.pdb"
+    rows = []
+    rng = np.random.default_rng(0)
+    res = ["ALA", "GLY", "LYS", "TRP"]
+    for i in range(4):
+        x, y, z = rng.normal(scale=3.0, size=3)
+        rows.append(f"ATOM  {i+1:5d}  CA  {res[i]} A{i+1:4d}    "
+                    f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00           C")
+    pdb.write_text("\n".join(rows) + "\n")
+
+    out = tmp_path / "blur.pkl"
+    scli.main(["coarse", "--workdir", str(wd), "--num", "4",
+               "--batch-size", "4", "--max-nodes", "8",
+               "--pocket-pdb", str(pdb), "--pocket-center", "0,0,0",
+               "--pocket-radius", "12", "--out", str(out)])
+    results = pickle.load(open(out, "rb"))[0]
+    assert len(results) == 4
+    for r in results:
+        assert np.isfinite(r["x"]).all() and np.isfinite(r["h"]).all()
+        assert r["h"].shape[1] == 8
