@@ -87,7 +87,7 @@ def _egnn_matmul_flops(b: int, n: int, h: int, n_layers: int, inv: int,
 
 
 def bench_coarse(batch_size: int, max_n: int = 12, use_pallas: bool = False,
-                 bf16: bool = False):
+                 bf16: bool = False, unroll: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -103,7 +103,8 @@ def bench_coarse(batch_size: int, max_n: int = 12, use_pallas: bool = False,
     nm, em = jnp.asarray(nm), jnp.asarray(em)
 
     for i in range(2):  # compile + settle (the tunnel can report early)
-        x, h = sample_coarse(coarse, cparams, jax.random.PRNGKey(2 + i), nm, em)
+        x, h = sample_coarse(coarse, cparams, jax.random.PRNGKey(2 + i), nm, em,
+                             unroll=unroll)
         np.asarray(x)
     # T+1 EGNN forwards (T scan steps + the final x|z0 read-out)
     flops = (coarse.timesteps + 1) * _egnn_matmul_flops(
@@ -113,7 +114,8 @@ def bench_coarse(batch_size: int, max_n: int = 12, use_pallas: bool = False,
     reps, times = 5, []
     for i in range(reps):
         t0 = time.perf_counter()
-        x, h = sample_coarse(coarse, cparams, jax.random.PRNGKey(10 + i), nm, em)
+        x, h = sample_coarse(coarse, cparams, jax.random.PRNGKey(10 + i), nm, em,
+                             unroll=unroll)
         np.asarray(x), np.asarray(h)
         times.append(time.perf_counter() - t0)
     dt = min(times)
@@ -122,6 +124,8 @@ def bench_coarse(batch_size: int, max_n: int = 12, use_pallas: bool = False,
     mfu = flops / dt / peak if flops else 0.0
     ref = _baseline("ref_batch64_n12_T1000") if max_n == 12 else None
     kernel = "pallas" if use_pallas else ("xla-bf16" if bf16 else "xla")
+    if unroll > 1:
+        kernel += f"-unroll{unroll}"
     _emit("coarse_sampling_molecules_per_sec_per_chip", batch_size / dt,
           f"molecules/sec/chip (1000-step EDM, batch {batch_size}, N<={max_n}, {kernel})",
           ref, tflops=round(tflops, 2), mfu=round(mfu, 4))
@@ -196,10 +200,11 @@ def main():
     p.add_argument("--max-n", type=int, default=12)
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--unroll", type=int, default=1)
     args = p.parse_args()
     if args.stage == "coarse":
         bench_coarse(args.batch, max_n=args.max_n, use_pallas=args.pallas,
-                     bf16=args.bf16)
+                     bf16=args.bf16, unroll=args.unroll)
     elif args.stage == "fine":
         bench_fine(args.num, args.beam, max_n=args.max_n)
     else:

@@ -38,7 +38,7 @@ def make_masks_for_counts(counts: np.ndarray, max_n: Optional[int] = None) -> Tu
     return node_mask, edge_mask
 
 
-@partial(jax.jit, static_argnames=("model",))
+@partial(jax.jit, static_argnames=("model", "unroll"))
 def sample_coarse(
     model: CoarseDiffusion,
     params,
@@ -46,6 +46,7 @@ def sample_coarse(
     node_mask: Array,
     edge_mask: Array,
     context: Optional[Array] = None,
+    unroll: int = 1,
 ) -> Tuple[Array, Array]:
     """Draw (x, h) ~ p(x, h) for a batch of masked point clouds.
 
@@ -79,7 +80,9 @@ def sample_coarse(
         z_new = jnp.concatenate([zx, z_new[:, :, model.n_dims:]], axis=2)
         return z_new, ()
 
-    z, _ = jax.lax.scan(step, z, jnp.arange(T - 1, -1, -1))
+    # unroll>1 amortizes the XLA while-loop per-iteration overhead — the
+    # dominant cost at small buckets where each step's kernels are tiny
+    z, _ = jax.lax.scan(step, z, jnp.arange(T - 1, -1, -1), unroll=unroll)
 
     mu_x, sigma_x = apply(CoarseDiffusion.sample_x_given_z0_stats, z, node_mask, edge_mask, context)
     eps = sample_combined_noise(jax.random.fold_in(rng, T), node_mask, model.n_dims, model.in_node_nf)
