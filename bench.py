@@ -87,7 +87,7 @@ def _egnn_matmul_flops(b: int, n: int, h: int, n_layers: int, inv: int,
 
 
 def bench_coarse(batch_size: int, max_n: int = 12, use_pallas: bool = False,
-                 bf16: bool = False, unroll: int = 1):
+                 bf16: bool = False, unroll: int = 1, steps: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -96,6 +96,7 @@ def bench_coarse(batch_size: int, max_n: int = 12, use_pallas: bool = False,
     coarse, cparams, _ = make_models(coarse_kw={
         "use_pallas": use_pallas,
         "compute_dtype": "bfloat16" if bf16 else None})
+    n_steps = steps or coarse.timesteps
     rng = np.random.default_rng(0)
     lo = max(4, max_n - 8)
     counts = rng.integers(lo, max_n + 1, size=batch_size)
@@ -104,10 +105,10 @@ def bench_coarse(batch_size: int, max_n: int = 12, use_pallas: bool = False,
 
     for i in range(2):  # compile + settle (the tunnel can report early)
         x, h = sample_coarse(coarse, cparams, jax.random.PRNGKey(2 + i), nm, em,
-                             unroll=unroll)
+                             unroll=unroll, steps=steps or None)
         np.asarray(x)
-    # T+1 EGNN forwards (T scan steps + the final x|z0 read-out)
-    flops = (coarse.timesteps + 1) * _egnn_matmul_flops(
+    # steps+1 EGNN forwards (scan steps + the final x|z0 read-out)
+    flops = (n_steps + 1) * _egnn_matmul_flops(
         batch_size, max_n, coarse.hidden_nf, coarse.n_layers, coarse.inv_sublayers)
     # best-of-reps: the tunneled TPU is shared, and run-to-run contention
     # swings wall clock ~2x; the fastest rep is the uncontended throughput
@@ -115,7 +116,7 @@ def bench_coarse(batch_size: int, max_n: int = 12, use_pallas: bool = False,
     for i in range(reps):
         t0 = time.perf_counter()
         x, h = sample_coarse(coarse, cparams, jax.random.PRNGKey(10 + i), nm, em,
-                             unroll=unroll)
+                             unroll=unroll, steps=steps or None)
         np.asarray(x), np.asarray(h)
         times.append(time.perf_counter() - t0)
     dt = min(times)
@@ -127,8 +128,9 @@ def bench_coarse(batch_size: int, max_n: int = 12, use_pallas: bool = False,
     if unroll > 1:
         kernel += f"-unroll{unroll}"
     _emit("coarse_sampling_molecules_per_sec_per_chip", batch_size / dt,
-          f"molecules/sec/chip (1000-step EDM, batch {batch_size}, N<={max_n}, {kernel})",
-          ref, tflops=round(tflops, 2), mfu=round(mfu, 4))
+          f"molecules/sec/chip ({n_steps}-step EDM, batch {batch_size}, N<={max_n}, {kernel})",
+          ref if n_steps == coarse.timesteps else None,
+          tflops=round(tflops, 2), mfu=round(mfu, 4))
 
 
 def bench_fine(n_molecules: int, beam: int, max_n: int = 12):
@@ -158,7 +160,8 @@ def bench_fine(n_molecules: int, beam: int, max_n: int = 12):
           None)
 
 
-def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64):
+def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
+                   steps: int = 0):
     import jax
     import random
     import jax.numpy as jnp
@@ -174,7 +177,8 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64):
              make_denoise_batch(gen.sample_trees(2, n=8), random.Random(0), max_n=8).items()}
     dparams = jax.jit(denoise.init)(jax.random.PRNGKey(2), dummy)
     pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
-                              histogram=load_geom_histogram(), beam_size=beam)
+                              histogram=load_geom_histogram(), beam_size=beam,
+                              sample_steps=steps or None)
     # same key for warmup and timing: molecule sizes (and thus the set of
     # compiled buckets) must match or compiles leak into the timed region
     pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False,
@@ -185,8 +189,9 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64):
     dt = time.perf_counter() - t0
     ok = sum(t is not None for t in result.trees)
     st = result.stats or {}
+    n_steps = steps or coarse.timesteps
     _emit("pipeline_molecules_per_sec_per_chip", ok / dt,
-          f"molecules/sec/chip (1000-step EDM + beam-{beam} lattice AR, {n_molecules} molecules)",
+          f"molecules/sec/chip ({n_steps}-step EDM + beam-{beam} lattice AR, {n_molecules} molecules)",
           None, t_coarse=round(st.get("t_coarse", 0.0), 2),
           t_fine=round(st.get("t_fine", 0.0), 2))
 
@@ -201,14 +206,17 @@ def main():
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--unroll", type=int, default=1)
+    p.add_argument("--steps", type=int, default=0,
+                   help="strided reverse steps (0 = full 1000)")
     args = p.parse_args()
     if args.stage == "coarse":
         bench_coarse(args.batch, max_n=args.max_n, use_pallas=args.pallas,
-                     bf16=args.bf16, unroll=args.unroll)
+                     bf16=args.bf16, unroll=args.unroll, steps=args.steps)
     elif args.stage == "fine":
         bench_fine(args.num, args.beam, max_n=args.max_n)
     else:
-        bench_pipeline(args.num, args.beam, batch_size=args.batch)
+        bench_pipeline(args.num, args.beam, batch_size=args.batch,
+                       steps=args.steps)
 
 
 if __name__ == "__main__":

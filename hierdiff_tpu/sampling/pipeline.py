@@ -45,7 +45,11 @@ class GenerationPipeline:
                  histogram: Dict[int, int], beam_size: int = 5,
                  int_nf: int = 5, refine_hook=None, can_assemble=None,
                  vocab=None, max_n_cap: Optional[int] = None,
-                 allowed_fn=None, mesh=None):
+                 allowed_fn=None, mesh=None,
+                 sample_steps: Optional[int] = None):
+        """sample_steps: strided reverse-chain length (None = the model's
+        full T; 100 measured 7.5x faster with indistinguishable sampled
+        feature distributions — see BASELINE.md)."""
         self.coarse_model = coarse_model
         if mesh is not None:
             # replicate params up front so repeated sharded calls don't
@@ -70,6 +74,7 @@ class GenerationPipeline:
         self.vocab = vocab
         self.max_n_cap = max_n_cap
         self.mesh = mesh
+        self.sample_steps = sample_steps
 
     def sample_blur(self, rng_key, n_molecules: int, max_n: Optional[int] = None,
                     rng_np: Optional[np.random.Generator] = None,
@@ -116,7 +121,8 @@ class GenerationPipeline:
                 nm = jax.device_put(nm, data)
                 em = jax.device_put(em, data)
             x, h = sample_coarse(self.coarse_model, self.coarse_params,
-                                 jax.random.fold_in(rng_key, c0), nm, em)
+                                 jax.random.fold_in(rng_key, c0), nm, em,
+                                 steps=self.sample_steps)
             x, h = np.asarray(x), np.asarray(h)
             for row, i in enumerate(chunk):
                 c = int(counts[i])

@@ -33,18 +33,22 @@ def main():
     p.add_argument("--bf16", action="store_true",
                    help="sample with bf16 matmul operands (quality check of "
                         "coarse.compute_dtype on trained weights)")
+    p.add_argument("--steps", type=int, default=0,
+                   help="strided reverse-chain steps (0 = full timesteps)")
     args = p.parse_args()
 
     params, cfg, step = load_checkpoint_params(args.workdir)
     model = build_coarse_from_cfg(cfg, compute_dtype="bfloat16" if args.bf16 else None)
-    print(f"checkpoint step {step}" + (" [bf16]" if args.bf16 else ""))
+    tag = (" [bf16]" if args.bf16 else "") + (f" [steps={args.steps}]" if args.steps else "")
+    print(f"checkpoint step {step}{tag}")
 
     dist = DistributionNodes(load_geom_histogram())
     rng_np = np.random.default_rng(0)
     counts = np.minimum(dist.sample_np(rng_np, args.num), args.max_nodes)
     nm, em = make_masks_for_counts(counts)
     x, h = sample_coarse(model, params, jax.random.PRNGKey(0),
-                         jnp.asarray(nm), jnp.asarray(em))
+                         jnp.asarray(nm), jnp.asarray(em),
+                         steps=args.steps or None)
     h = np.asarray(h)
     sampled = np.concatenate([h[i, :c] for i, c in enumerate(counts)])
     sampled = np.concatenate([np.round(sampled[:, :5]), sampled[:, 5:]], axis=1)
