@@ -45,7 +45,8 @@ import jax.numpy as jnp
 from hierdiff_tpu.ops.egnn import torch_linear_init
 from hierdiff_tpu.ops.gcl import DenseEGCL, compute_parents, coord2radial_dense
 from hierdiff_tpu.ops.graph import bfs_depths, depth_layer_mask
-from hierdiff_tpu.ops.masked import binary_cross_entropy, masked_cross_entropy, masked_log_softmax
+from hierdiff_tpu.ops.masked import (binary_cross_entropy, masked_cross_entropy,
+                                     masked_log_softmax, onehot_take)
 
 Array = jax.Array
 
@@ -206,12 +207,11 @@ class EdgeDenoise(nn.Module):
         """(B, N) attachment scores for (focal -> candidate).
         (reference: edge_denoise.py:157-169)"""
         b, n, hd = h.shape
-        take = lambda t, idx: jnp.take_along_axis(
-            t, idx.reshape(b, *([1] * (t.ndim - 1))).astype(jnp.int32), axis=1)
         fi = jnp.clip(focal_idx, 0, n - 1)
-        h_focal = jnp.broadcast_to(take(h, fi), (b, n, hd))
-        x_focal = take(x, fi)
-        edge_focal = take(ef_full, fi)[:, 0]          # (B, N, H): ef[focal, :]
+        # row selections as one-hot MXU contractions (ops.masked.onehot_take)
+        h_focal = jnp.broadcast_to(onehot_take(h, fi)[:, None], (b, n, hd))
+        x_focal = onehot_take(x, fi)[:, None]
+        edge_focal = onehot_take(ef_full, fi)         # (B, N, H): ef[focal, :]
         d2 = jnp.sum((x - x_focal) ** 2, axis=-1, keepdims=True)
         inp = jnp.concatenate([h_focal, edge_focal, h, d2], axis=-1)
         return self.edge_head(inp)[..., 0]
@@ -219,8 +219,7 @@ class EdgeDenoise(nn.Module):
     def node_logits(self, h: Array, idx: Array) -> Array:
         """(B, V) fragment-type logits at node ``idx``.
         (reference: edge_denoise.py:203-205)"""
-        b, n, hd = h.shape
-        sel = jnp.take_along_axis(h, jnp.clip(idx, 0, n - 1).reshape(b, 1, 1).astype(jnp.int32), axis=1)[:, 0]
+        sel = onehot_take(h, idx)
         return self.node_head(sel)
 
     # --- training forward --------------------------------------------------

@@ -119,8 +119,8 @@ class NodeRefine(nn.Module):
     def logits_at(self, h: Array, idx: Array, val: Array) -> Array:
         """Vocab logits at node idx given its degree ``val``.
         (reference: model_refine.py:98-100)"""
-        b, n, hd = h.shape
-        sel = jnp.take_along_axis(h, jnp.clip(idx, 0, n - 1).reshape(b, 1, 1).astype(jnp.int32), axis=1)[:, 0]
+        from hierdiff_tpu.ops.masked import onehot_take
+        sel = onehot_take(h, idx)
         return self.output(jnp.concatenate([sel, val[:, None]], axis=-1))
 
     def __call__(self, batch: Dict[str, Array]) -> Dict[str, Array]:

@@ -117,6 +117,23 @@ def masked_log_softmax(logits: Array, support: Array, axis: int = -1) -> Array:
     return jax.nn.log_softmax(logits, axis=axis)
 
 
+def onehot_take(t: Array, idx: Array) -> Array:
+    """Row selection t[b, idx[b]] as a one-hot MXU contraction.
+
+    t (B, N, ...), idx (B,) int -> (B, ...). TPU lowers per-row gathers
+    (take_along_axis) to scalar loops — measured 250x the FLOP cost in the
+    tree passes — while the one-hot contraction runs on the MXU.
+    precision=HIGHEST keeps it bit-exact (each output sums one 1.0*t
+    product).
+    """
+    b, n = t.shape[:2]
+    oh = jax.nn.one_hot(jnp.clip(idx, 0, n - 1), n, dtype=t.dtype)   # (B,N)
+    flat = t.reshape(b, n, -1)
+    out = jax.lax.dot_general(oh, flat, (((1,), (1,)), ((0,), (0,))),
+                              precision=jax.lax.Precision.HIGHEST)
+    return out.reshape((b,) + t.shape[2:])
+
+
 def masked_cross_entropy(logits: Array, target: Array, support: Array) -> Array:
     """CE over a restricted support: -log softmax(logits|support)[target].
 
