@@ -124,7 +124,9 @@ def onehot_take(t: Array, idx: Array) -> Array:
     (take_along_axis) to scalar loops — measured 250x the FLOP cost in the
     tree passes — while the one-hot contraction runs on the MXU.
     precision=HIGHEST keeps it bit-exact (each output sums one 1.0*t
-    product).
+    product). Entries must be FINITE: non-selected +-inf/NaN rows would
+    poison the contraction (0 * inf = NaN) — masked log-probs here use the
+    finite NEG_INF sentinel, never true -inf.
     """
     b, n = t.shape[:2]
     oh = jax.nn.one_hot(jnp.clip(idx, 0, n - 1), n, dtype=t.dtype)   # (B,N)
@@ -142,7 +144,7 @@ def masked_cross_entropy(logits: Array, target: Array, support: Array) -> Array:
     candidate list (edge_denoise.py:176-224) without the Python loop.
     """
     logp = masked_log_softmax(logits, support)
-    return -jnp.take_along_axis(logp, target[:, None], axis=1)[:, 0]
+    return -onehot_take(logp, target)
 
 
 def binary_cross_entropy(p: Array, label: Array, eps: float = 1e-7) -> Array:

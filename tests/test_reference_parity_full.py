@@ -708,3 +708,89 @@ def test_diffusion_loss_parity_sampled_t(ref, diffusion_pair):
         delta = delta * t_is_zero * (T + 1)
     np.testing.assert_allclose(np.asarray(loss_my),
                                t2n(loss_ref) + t2n(delta), rtol=5e-3)
+
+
+def test_reverse_kernel_parity(ref, diffusion_pair):
+    """Sampling kernels vs the reference on identical weights: the mu/sigma
+    of p(z_s | z_t) (diffusion_qm9.py:312-337 sample_p_zs_given_zt) and of
+    p(x | z_0) (:294-310 sample_p_xh_given_z0) — the two device kernels the
+    lax.scan sampler iterates."""
+    from hierdiff_tpu.models.diffusion import CoarseDiffusion
+    from hierdiff_tpu.ops.masked import remove_mean_with_mask
+
+    model_t, ours, params, T = diffusion_pair
+    x, h, node_mask, edge_mask, eps, _ = _diffusion_inputs(T)
+    B, N = x.shape[:2]
+    zt = np.concatenate([x, h], axis=2).astype(np.float32)  # stand-in latent
+    t_int, s_int = 30, 29
+    t = np.full((B, 1), t_int / T, np.float32)
+    s = np.full((B, 1), s_int / T, np.float32)
+
+    # --- torch mu/sigma of p(z_s | z_t), mirroring sample_p_zs_given_zt ---
+    zt_t = torch.tensor(zt)
+    nm_t = torch.tensor(node_mask).bool()   # reference asserts use ~node_mask
+    em_flat = torch.tensor(edge_mask.reshape(B * N * N, 1))
+    with torch.no_grad():
+        gamma_s = model_t.gamma(torch.tensor(s))
+        gamma_t = model_t.gamma(torch.tensor(t))
+        s2_ts, s_ts, a_ts = model_t.sigma_and_alpha_t_given_s(gamma_t, gamma_s, zt_t)
+        sigma_s = model_t.sigma(gamma_s, target_tensor=zt_t)
+        sigma_t = model_t.sigma(gamma_t, target_tensor=zt_t)
+        eps_t = model_t.phi(zt_t, torch.tensor(t), nm_t, em_flat, None)
+        eps_t[:, :, :3] = torch.tensor(np.asarray(remove_mean_with_mask(
+            jnp.asarray(t2n(eps_t[:, :, :3])), jnp.asarray(node_mask))))
+        mu_ref = zt_t / a_ts - (s2_ts / a_ts / sigma_t) * eps_t
+        sigma_ref = s_ts * sigma_s / sigma_t
+
+    with jax.default_matmul_precision("highest"):
+        gamma_s_j = ours.apply(params, jnp.asarray(s), method=CoarseDiffusion.gamma_of)
+        gamma_t_j = ours.apply(params, jnp.asarray(t), method=CoarseDiffusion.gamma_of)
+        mu_j, sigma_j = ours.apply(params, jnp.asarray(zt), gamma_s_j, gamma_t_j,
+                                   jnp.asarray(node_mask), jnp.asarray(edge_mask),
+                                   jnp.asarray(t), method=CoarseDiffusion.sample_zs_stats)
+    # tolerance matches the dynamics forward parity (5e-4): mu inherits the
+    # EGNN output drift scaled by sigma2_ts/(alpha_ts*sigma_t)
+    np.testing.assert_allclose(np.asarray(mu_j), t2n(mu_ref), atol=1e-3,
+                               err_msg="mu of p(z_s|z_t)")
+    # rtol bounded by the gamma network's own ~4e-4 intra-call noise (see
+    # test_gamma_network_parity)
+    np.testing.assert_allclose(np.asarray(sigma_j).reshape(-1),
+                               t2n(sigma_ref).reshape(-1), rtol=2e-3,
+                               err_msg="sigma of p(z_s|z_t)")
+
+    # --- torch mu/sigma of p(x | z_0) ---
+    with torch.no_grad():
+        zeros = torch.zeros((B, 1))
+        gamma_0 = model_t.gamma(zeros)
+        sigma_x_ref = model_t.SNR(-0.5 * gamma_0).unsqueeze(1)
+        net0 = model_t.phi(zt_t, zeros, nm_t, em_flat, None)
+        mu_x_ref = model_t.compute_x_pred(net0, zt_t, gamma_0)
+
+    with jax.default_matmul_precision("highest"):
+        mu_x_j, sigma_x_j = ours.apply(params, jnp.asarray(zt), jnp.asarray(node_mask),
+                                       jnp.asarray(edge_mask),
+                                       method=CoarseDiffusion.sample_x_given_z0_stats)
+    np.testing.assert_allclose(np.asarray(mu_x_j), t2n(mu_x_ref), atol=1e-3,
+                               err_msg="mu of p(x|z_0)")
+    np.testing.assert_allclose(np.asarray(sigma_x_j).reshape(-1),
+                               t2n(sigma_x_ref).reshape(-1), rtol=2e-3,
+                               err_msg="sigma of p(x|z_0)")
+
+
+def test_gamma_network_parity(ref, diffusion_pair):
+    """GammaNetwork values on copied weights (isolates the sigma drift)."""
+    from hierdiff_tpu.models.diffusion import CoarseDiffusion
+
+    model_t, ours, params, T = diffusion_pair
+    # the torch gamma itself returns row-to-row deltas up to ~4e-4 for
+    # IDENTICAL inputs in one call (threaded GEMM reduction over the
+    # 1024-wide l3, amplified by the [gamma_tilde_0, gamma_tilde_1]
+    # normalization's conditioning on untrained weights) — 1e-3 is the
+    # tightest meaningful bar
+    for tv in [0.0, 0.25, 0.58, 0.6, 1.0]:
+        s = np.full((2, 1), tv, np.float32)
+        with torch.no_grad():
+            g_ref = t2n(model_t.gamma(torch.tensor(s)))
+        g_j = np.asarray(ours.apply(params, jnp.asarray(s),
+                                    method=CoarseDiffusion.gamma_of))
+        np.testing.assert_allclose(g_j, g_ref, atol=1e-3, err_msg=f"t={tv}")
