@@ -36,24 +36,36 @@ def probe(b: int, n: int, hidden: int, reps: int):
     gcl = DenseGCL(hidden, normalization_factor=10.0, attention=True)
     params = gcl.init(jax.random.PRNGKey(0), h, eattr, nmask, emask)
 
+    # K chained layer applications inside ONE jitted scan: a single layer is
+    # ~0.1 ms on-device while the tunnel round trip is ~30 ms, so standalone
+    # per-call timing measures the link, not the kernel
+    K = 64
     out = {}
     for tag, kw in [("xla", {}), ("pallas", {"use_pallas": True}),
                     ("xla-bf16", {"compute_dtype": "bfloat16"})]:
         m = DenseGCL(hidden, normalization_factor=10.0, attention=True, **kw)
-        fn = jax.jit(lambda p, *a: m.apply(p, *a))
-        r = fn(params, h, eattr, nmask, emask)
+
+        def chain(p, h0):
+            def step(hc, _):
+                return m.apply(p, hc, eattr, nmask, emask), ()
+            hK, _ = jax.lax.scan(step, h0, None, length=K)
+            return hK
+
+        fn = jax.jit(chain)
+        r = fn(params, h)
         np.asarray(r)
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            r = fn(params, h, eattr, nmask, emask)
-            r.block_until_ready()
+            r = fn(params, h)
+            np.asarray(r)
             times.append(time.perf_counter() - t0)
-        dt = min(times)
+        dt = min(times) / K
         flops = 2.0 * b * n * n * hidden * hidden  # edge_out dominates
-        out[tag] = {"ms": round(dt * 1e3, 3),
+        out[tag] = {"ms_per_layer": round(dt * 1e3, 3),
                     "tflops_lb": round(flops / dt / 1e12, 1)}
-    print(json.dumps({"b": b, "n": n, "hidden": hidden, **out}), flush=True)
+    print(json.dumps({"b": b, "n": n, "hidden": hidden, "chain": K, **out}),
+          flush=True)
 
 
 def main():
