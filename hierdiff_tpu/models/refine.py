@@ -45,6 +45,10 @@ class NodeRefine(nn.Module):
     max_size: int = 26
     gated: bool = True
     max_depth: Optional[int] = None   # static per-phase scan length; None -> N-1
+    # inference-only dynamic bound on the phase loops (exact under
+    # gated=True, same argument as EdgeDenoise.dynamic_depth); the refine
+    # hook flips it on via model.clone(dynamic_depth=True)
+    dynamic_depth: bool = False
 
     def setup(self):
         h = self.hidden_size
@@ -66,10 +70,29 @@ class NodeRefine(nn.Module):
         self.gcl_back = mk("gcl_back")
         self.output = nn.Sequential([nn.Dense(h, kernel_init=torch_linear_init), nn.silu, nn.Dense(self.vocab_size, kernel_init=torch_linear_init)])
 
-    def _phase(self, phase_name: str, h, x, parent, depth, node_mask, ds, flip: bool):
+    def _phase(self, phase_name: str, h, x, parent, depth, node_mask, ds, flip: bool,
+               start=None, stop=None):
         """nn.scan one directional phase over per-sample depth values ``ds``
         (L, B) (params broadcast across depth steps); each layer is a
-        parent-pointer tree_pass (see ops/gcl.py)."""
+        parent-pointer tree_pass (see ops/gcl.py). With ``dynamic_depth``
+        (and gated=True) only iterations [start, stop) run — the rest have
+        empty active masks and are exact no-ops."""
+
+        if self.dynamic_depth and self.gated and start is not None:
+            def cond(mdl, c):
+                return c[2] < c[3]
+
+            def body(mdl, c):
+                h, x, k, sp = c
+                d = jax.lax.dynamic_index_in_dim(ds, k, axis=0, keepdims=False)
+                active = (depth == d[:, None]) & (d[:, None] >= 1)
+                for layer in getattr(mdl, phase_name):
+                    h, x = layer.tree_pass(h, x, parent, active, node_mask,
+                                           reverse=flip)
+                return (h, x, k + 1, sp)
+
+            h, x, _, _ = nn.while_loop(cond, body, self, (h, x, start, stop))
+            return h, x
 
         def step(mdl, carry, d):
             h, x = carry
@@ -102,9 +125,18 @@ class NodeRefine(nn.Module):
         ks = jnp.arange(steps, dtype=jnp.int32)
         down = maxd[None, :] - ks[:, None]                 # (L, B) deepest-first
         up = maxd[None, :] - (steps - 1 - ks)[:, None]     # reversed concat order
-        h, x = self._phase("gcl_collect", h, x, parent, depth, node_mask, down, flip=False)
-        h, x = self._phase("gcl_reverse", h, x, parent, depth, node_mask, up, flip=True)
-        h, x = self._phase("gcl_back", h, x, parent, depth, node_mask, down, flip=False)
+        # dynamic bounds: down phases are active for k < max(maxd); the
+        # reversed phase's active iterations sit at the END of the list,
+        # k >= steps - max(maxd)
+        kmax = jnp.minimum(jnp.max(maxd), steps).astype(jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
+        steps_c = jnp.full((), steps, jnp.int32)
+        h, x = self._phase("gcl_collect", h, x, parent, depth, node_mask, down,
+                           flip=False, start=zero, stop=kmax)
+        h, x = self._phase("gcl_reverse", h, x, parent, depth, node_mask, up,
+                           flip=True, start=steps_c - kmax, stop=steps_c)
+        h, x = self._phase("gcl_back", h, x, parent, depth, node_mask, down,
+                           flip=False, start=zero, stop=kmax)
         return h, x
 
     def encode(self, feats: Array, vocab: Array, size: Array, node_mask: Array) -> Array:

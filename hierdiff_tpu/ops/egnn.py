@@ -73,26 +73,20 @@ def coord2diff_dense(x: Array, norm_constant: float = 1.0):
     return radial, diff / (norm + norm_constant)
 
 
-class PairDense(nn.Module):
-    """Decomposed linear over pairwise concatenated features.
+def _edge_proj(e: Array, w_e: Array, dtype) -> Array:
+    """e @ w_e for the tiny edge-feature channel (E=2: radial + distances0).
 
-    Computes ``Dense(cat([h_i, h_j, e]))[b,i,j]`` without forming the concat:
-    three separate matmuls, broadcast-added. Output shape (B, N, N, features).
+    A K=2 matmul wastes the MXU (the contraction dim pads to the systolic
+    width); an explicit per-channel broadcast-sum runs on the VPU alongside
+    the adds it feeds into.
     """
-
-    features: int
-
-    @nn.compact
-    def __call__(self, h: Array, e: Optional[Array]) -> Array:
-        hdim = h.shape[-1]
-        w_src = self.param("w_src", torch_linear_init, (hdim, self.features))
-        w_dst = self.param("w_dst", torch_linear_init, (hdim, self.features))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        out = (h @ w_src)[:, :, None, :] + (h @ w_dst)[:, None, :, :] + b
-        if e is not None:
-            w_e = self.param("w_e", torch_linear_init, (e.shape[-1], self.features))
-            out = out + e @ w_e
+    E = e.shape[-1]
+    if E <= 4:
+        out = e[..., 0, None] * w_e[0]
+        for k in range(1, E):
+            out = out + e[..., k, None] * w_e[k]
         return out
+    return _mm(e, w_e, dtype)
 
 
 class DenseGCL(nn.Module):
@@ -150,7 +144,7 @@ class DenseGCL(nn.Module):
         ei, dt = p["edge_in"], self.compute_dtype
         mij = (_mm(h, ei["w_src"], dt)[:, :, None, :]
                + _mm(h, ei["w_dst"], dt)[:, None, :, :]
-               + _mm(edge_attr, ei["w_e"], dt) + ei["bias"])
+               + _edge_proj(edge_attr, ei["w_e"], dt) + ei["bias"])
         mij = nn.silu(mij)
         mij = nn.silu(_mm(mij, p["edge_out"]["kernel"], dt) + p["edge_out"]["bias"])
 
@@ -219,7 +213,7 @@ class DenseEquivariantUpdate(nn.Module):
         ci, dt = p["coord_in"], self.compute_dtype
         inp = (_mm(h, ci["w_src"], dt)[:, :, None, :]
                + _mm(h, ci["w_dst"], dt)[:, None, :, :]
-               + _mm(edge_attr, ci["w_e"], dt) + ci["bias"])
+               + _edge_proj(edge_attr, ci["w_e"], dt) + ci["bias"])
         inp = nn.silu(inp)
         inp = nn.silu(_mm(inp, p["coord_mid"]["kernel"], dt) + p["coord_mid"]["bias"])
         # the scalar head stays f32: it multiplies coordinate differences, and

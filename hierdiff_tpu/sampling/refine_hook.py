@@ -31,6 +31,9 @@ class RefineHook:
                  check_frac: float = 0.1,
                  can_assemble: Optional[Callable[[TreeState, int], bool]] = None):
         """vocab_sizes: heavy-atom count per vocab index (Vocab.mol_sizes)."""
+        if model.gated and not model.dynamic_depth:
+            # inference-only depth bound (see NodeRefine.dynamic_depth)
+            model = model.clone(dynamic_depth=True)
         self.model = model
         self.params = params
         self.vocab_sizes = np.asarray(vocab_sizes)

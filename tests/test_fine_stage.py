@@ -350,3 +350,24 @@ def test_dynamic_depth_lattice_parity():
     for k in out_s:
         np.testing.assert_allclose(np.asarray(out_s[k]), np.asarray(out_d[k]),
                                    rtol=0, atol=1e-6, err_msg=k)
+
+
+def test_refine_dynamic_depth_parity():
+    """NodeRefine dynamic_depth equals the static phase scans bit-for-bit
+    (gated=True): including the reversed phase whose active iterations sit
+    at the END of the concat order."""
+    from hierdiff_tpu.data.refine import make_refine_batch
+    from hierdiff_tpu.models.refine import NodeRefine
+
+    gen = SyntheticTreeGenerator(seed=7)
+    rng = random.Random(0)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_refine_batch(gen.sample_trees(4, n=10), rng, max_n=12).items()}
+    static = NodeRefine(hidden_size=32, n_layers=2)
+    dynamic = static.clone(dynamic_depth=True)
+    params = jax.jit(static.init)(jax.random.PRNGKey(0), batch)
+    out_s = static.apply(params, batch)
+    out_d = dynamic.apply(params, batch)
+    for k in out_s:
+        np.testing.assert_allclose(np.asarray(out_s[k]), np.asarray(out_d[k]),
+                                   rtol=0, atol=1e-6, err_msg=k)
