@@ -219,6 +219,8 @@ def cmd_generate(args):
 
 
 def main(argv=None):
+    from hierdiff_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="HierDiff-TPU sampling")
     sub = p.add_subparsers(dest="cmd", required=True)
 

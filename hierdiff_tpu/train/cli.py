@@ -91,6 +91,8 @@ BUILDERS = {"coarse": (build_coarse, coarse_iter),
 
 
 def main(argv=None):
+    from hierdiff_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="HierDiff-TPU training")
     parser.add_argument("stage", choices=list(BUILDERS))
     parser.add_argument("--config", default=None)
