@@ -46,18 +46,32 @@ def xavier_scaled_init(gain: float):
     return init
 
 
-def _mm(a: Array, w: Array, dtype) -> Array:
-    """Matmul with optional reduced-precision operands, f32 accumulation.
+def _mm(a: Array, w: Array, dtype, out_dtype=None) -> Array:
+    """Matmul with optional reduced-precision operands.
 
-    With ``dtype='bfloat16'`` the MXU runs single-pass bf16 passes instead of
-    the 3-pass f32 emulation — ~3x on the (B, N, N, H) pairwise matmuls that
-    dominate EGNN cost — while sums still accumulate in f32. ``None`` keeps
-    full f32 operands (exact reference numerics).
+    With ``dtype='bfloat16'`` the MXU takes bf16 operands (accumulation is
+    f32 either way); ``out_dtype`` keeps the OUTPUT in reduced precision so
+    the downstream elementwise pipeline runs at doubled VPU width — the
+    profiled sampler spends >90% of its device time in the fused
+    (B, N, N, H) elementwise chains, not the matmuls. ``None`` keeps full
+    f32 (exact reference numerics).
     """
     if dtype is None:
         return a @ w
     return jnp.dot(a.astype(dtype), w.astype(dtype),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=out_dtype or jnp.float32)
+
+
+def _masked_rowsum(m: Array, edge_mask: Array) -> Array:
+    """sum_j m[b,i,j,:] * edge_mask[b,i,j] via dot_general (batch (b,i),
+    contract j). m (B,N,N,C), edge_mask (B,N,N,1) or (B,N,N) -> (B,N,C) f32.
+    For f32 m, HIGHEST precision keeps exact f32-sum semantics (the mask is
+    0/1); bf16 m accumulates in f32."""
+    mask = edge_mask[..., 0] if edge_mask.ndim == 4 else edge_mask
+    return jax.lax.dot_general(
+        mask.astype(m.dtype), m, (((2,), (2,)), ((0, 1), (0, 1))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
 
 def coord2diff_dense(x: Array, norm_constant: float = 1.0):
@@ -142,22 +156,31 @@ class DenseGCL(nn.Module):
                              self.normalization_factor, self.attention)
 
         ei, dt = p["edge_in"], self.compute_dtype
-        mij = (_mm(h, ei["w_src"], dt)[:, :, None, :]
-               + _mm(h, ei["w_dst"], dt)[:, None, :, :]
-               + _edge_proj(edge_attr, ei["w_e"], dt) + ei["bias"])
+        # with compute_dtype set, the whole (B,N,N,H) edge pipeline runs in
+        # that dtype (double VPU width for the adds/silu/gate chain — the
+        # profiled hot path); accumulations back to f32 at the rowsum
+        act = jnp.dtype(dt) if dt is not None else None
+        cast = (lambda v: v.astype(act)) if act is not None else (lambda v: v)
+        mij = (_mm(h, ei["w_src"], dt, act)[:, :, None, :]
+               + _mm(h, ei["w_dst"], dt, act)[:, None, :, :]
+               + cast(_edge_proj(edge_attr, ei["w_e"], dt)) + cast(ei["bias"]))
         mij = nn.silu(mij)
-        mij = nn.silu(_mm(mij, p["edge_out"]["kernel"], dt) + p["edge_out"]["bias"])
+        mij = nn.silu(_mm(mij, p["edge_out"]["kernel"], dt, act) + cast(p["edge_out"]["bias"]))
 
         if self.attention:
-            att = nn.sigmoid(_mm(mij, p["att"]["kernel"], dt) + p["att"]["bias"])
+            att = nn.sigmoid(_mm(mij, p["att"]["kernel"], dt, act) + cast(p["att"]["bias"]))
             mij = mij * att
 
-        mij = mij * edge_mask
+        # masked neighbor-sum as a dot_general contraction over j with the
+        # mask as the vector operand: the profiled sampler spent 92% of its
+        # device time in VPU multiply_reduce fusions doing this same sum —
+        # the MXU contraction replaces both the mask-multiply and the reduce
+        agg = _masked_rowsum(mij, edge_mask)
         if self.aggregation_method == "sum":
-            agg = jnp.sum(mij, axis=2) / self.normalization_factor
+            agg = agg / self.normalization_factor
         elif self.aggregation_method == "mean":
             denom = jnp.maximum(jnp.sum(edge_mask, axis=2), 1.0)
-            agg = jnp.sum(mij, axis=2) / denom
+            agg = agg / denom
         else:
             raise ValueError(self.aggregation_method)
 
@@ -211,22 +234,27 @@ class DenseEquivariantUpdate(nn.Module):
                                       node_mask, p, self.normalization_factor,
                                       self.tanh, self.coords_range)
         ci, dt = p["coord_in"], self.compute_dtype
-        inp = (_mm(h, ci["w_src"], dt)[:, :, None, :]
-               + _mm(h, ci["w_dst"], dt)[:, None, :, :]
-               + _edge_proj(edge_attr, ci["w_e"], dt) + ci["bias"])
+        act = jnp.dtype(dt) if dt is not None else None
+        cast = (lambda v: v.astype(act)) if act is not None else (lambda v: v)
+        inp = (_mm(h, ci["w_src"], dt, act)[:, :, None, :]
+               + _mm(h, ci["w_dst"], dt, act)[:, None, :, :]
+               + cast(_edge_proj(edge_attr, ci["w_e"], dt)) + cast(ci["bias"]))
         inp = nn.silu(inp)
-        inp = nn.silu(_mm(inp, p["coord_mid"]["kernel"], dt) + p["coord_mid"]["bias"])
-        # the scalar head stays f32: it multiplies coordinate differences, and
-        # equivariant position updates are the precision-critical path
-        scalar = inp @ p["coord_head"]["kernel"]
+        inp = nn.silu(_mm(inp, p["coord_mid"]["kernel"], dt, act) + cast(p["coord_mid"]["bias"]))
+        # the scalar head returns to f32: it multiplies coordinate
+        # differences, and equivariant position updates are the
+        # precision-critical path
+        scalar = _mm(inp, p["coord_head"]["kernel"], dt) if dt is not None \
+            else inp @ p["coord_head"]["kernel"]
         if self.tanh:
             scalar = jnp.tanh(scalar) * self.coords_range
-        trans = coord_diff * scalar * edge_mask
+        # masked neighbor-sum on the MXU (see _masked_rowsum)
+        agg = _masked_rowsum(coord_diff * scalar, edge_mask)
         if self.aggregation_method == "sum":
-            agg = jnp.sum(trans, axis=2) / self.normalization_factor
+            agg = agg / self.normalization_factor
         elif self.aggregation_method == "mean":
             denom = jnp.maximum(jnp.sum(edge_mask, axis=2), 1.0)
-            agg = jnp.sum(trans, axis=2) / denom
+            agg = agg / denom
         else:
             raise ValueError(self.aggregation_method)
         return (x + agg) * node_mask

@@ -230,8 +230,11 @@ def main(argv=None):
     pc.add_argument("--batch-size", type=int, default=64)
     pc.add_argument("--max-nodes", type=int, default=0)
     pc.add_argument("--seed", type=int, default=2022)
-    pc.add_argument("--bf16", action="store_true",
-                    help="bf16 matmul operands in the EGNN (f32 accumulation)")
+    pc.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=True,
+                    help="bf16 EGNN edge pipeline (DEFAULT: 1.3-1.4x faster, "
+                         "sampled distributions measured identical to f32 on "
+                         "trained weights — BASELINE.md; --no-bf16 for the "
+                         "f32 reference-exact path)")
     pc.add_argument("--pocket-pdb", default="",
                     help="PDB file for pocket-conditioned sampling "
                          "(crossdock family; model must be trained with "
@@ -258,7 +261,7 @@ def main(argv=None):
     pg.add_argument("--workers", type=int, default=0)
     pg.add_argument("--seed", type=int, default=2022)
     pg.add_argument("--pallas", action="store_true")
-    pg.add_argument("--bf16", action="store_true")
+    pg.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=True)
     pg.add_argument("--sample-steps", type=int, default=0)
     pg.add_argument("--data-parallel", action=argparse.BooleanOptionalAction,
                     default=True, help="shard generation over all devices")
