@@ -107,8 +107,11 @@ def cmd_coarse(args):
                                               sample_coarse_pocket)
 
     params, cfg, step = load_checkpoint_params(args.workdir)
-    model = build_coarse_from_cfg(cfg, use_pallas=args.pallas or None,
-                                  compute_dtype="bfloat16" if args.bf16 else None)
+    # --no-bf16 must really force f32 even when the checkpoint cfg carries a
+    # compute_dtype, so pass "float32" explicitly rather than None
+    model = build_coarse_from_cfg(
+        cfg, use_pallas=args.pallas or None,
+        compute_dtype="bfloat16" if args.bf16 else "float32")
     print(f"loaded coarse checkpoint @ step {step}")
 
     pocket_batch = None
@@ -138,13 +141,14 @@ def cmd_coarse(args):
         nm, em = make_masks_for_counts(counts)
         if pocket_batch is not None:
             rep = lambda a: jnp.asarray(np.repeat(a, k, axis=0))
-            x, h = sample_coarse_pocket(  # pocket path: full chain only
+            x, h = sample_coarse_pocket(
                 model, params, jax.random.fold_in(key, b),
                 jnp.asarray(nm), jnp.asarray(em),
                 rep(pocket_batch["protein_feat"]),
                 rep(pocket_batch["protein_pos"]),
                 rep(pocket_batch["protein_feat_mask"]),
-                rep(pocket_batch["protein_edge_mask"]))
+                rep(pocket_batch["protein_edge_mask"]),
+                steps=args.sample_steps or None)
         else:
             x, h = sample_coarse(model, params, jax.random.fold_in(key, b), nm, em,
                                  steps=args.sample_steps or None)
@@ -158,12 +162,13 @@ def cmd_coarse(args):
 
 def cmd_generate(args):
     from hierdiff_tpu.chem import HAS_RDKIT
-    from hierdiff_tpu.data.assets import load_geom_histogram
+    from hierdiff_tpu.data.assets import load_histogram
     from hierdiff_tpu.sampling.pipeline import GenerationPipeline
 
     cparams, ccfg, cstep = load_checkpoint_params(args.workdir)
-    coarse = build_coarse_from_cfg(ccfg, use_pallas=args.pallas or None,
-                                   compute_dtype="bfloat16" if args.bf16 else None)
+    coarse = build_coarse_from_cfg(
+        ccfg, use_pallas=args.pallas or None,
+        compute_dtype="bfloat16" if args.bf16 else "float32")
     dparams, dcfg, dstep = load_checkpoint_params(args.denoise_workdir)
     denoise = build_denoise_from_cfg(dcfg)
     print(f"coarse @ {cstep}, denoise @ {dstep}")
@@ -174,17 +179,6 @@ def cmd_generate(args):
         mesh = make_mesh(jax.devices())
         print(f"data-parallel over {jax.device_count()} devices")
 
-    refine_hook = None
-    if args.refine_workdir:
-        from hierdiff_tpu.chem.mol_tree import Vocab
-        from hierdiff_tpu.sampling.refine_hook import RefineHook
-
-        rparams, rcfg, rstep = load_checkpoint_params(args.refine_workdir)
-        refine = build_refine_from_cfg(rcfg)
-        vocab_sizes = np.asarray(Vocab().mol_sizes)
-        refine_hook = RefineHook(refine, rparams, vocab_sizes)
-        print(f"refine @ {rstep}")
-
     vocab, gate = None, None
     if HAS_RDKIT:
         from hierdiff_tpu.chem.assemble_gate import make_assembly_gate
@@ -194,8 +188,23 @@ def cmd_generate(args):
         # (fragment, neighbor set) (ar_sampling_nosize.py:199-200, 396-403)
         gate = make_assembly_gate(vocab)
 
+    refine_hook = None
+    if args.refine_workdir:
+        from hierdiff_tpu.chem.mol_tree import Vocab
+        from hierdiff_tpu.sampling.refine_hook import RefineHook
+
+        rparams, rcfg, rstep = load_checkpoint_params(args.refine_workdir)
+        refine = build_refine_from_cfg(rcfg)
+        vocab_sizes = np.asarray(Vocab().mol_sizes)
+        # the gate makes check_tree swaps assembly-aware and activates
+        # finalize()'s check_final_tree repair (model_refine.py:252-299)
+        refine_hook = RefineHook(refine, rparams, vocab_sizes,
+                                 can_assemble=gate)
+        print(f"refine @ {rstep}")
+
     pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
-                              histogram=load_geom_histogram(),
+                              histogram=load_histogram(
+                                  ccfg["coarse"].get("dataset", "geom")),
                               beam_size=args.beam, refine_hook=refine_hook,
                               vocab=vocab, can_assemble=gate,
                               max_n_cap=args.max_nodes or None,

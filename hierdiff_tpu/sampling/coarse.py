@@ -104,7 +104,7 @@ def sample_coarse(
     return x, h
 
 
-@partial(jax.jit, static_argnames=("model",))
+@partial(jax.jit, static_argnames=("model", "steps"))
 def sample_coarse_pocket(
     model: CoarseDiffusion,
     params,
@@ -115,15 +115,18 @@ def sample_coarse_pocket(
     protein_pos: Array,
     protein_node_mask: Array,
     protein_edge_mask: Array,
+    steps: Optional[int] = None,
 ) -> Tuple[Array, Array]:
     """Pocket-conditioned sampling: molecule rows diffuse, pocket rows are
     frozen context appended after them. (reference: diffusion_qm9.py:361-384)
 
-    Returns (x, h) for the molecule rows only.
+    Returns (x, h) for the molecule rows only. ``steps`` strides the reverse
+    chain exactly as in :func:`sample_coarse`.
     """
     b, n_mol = node_mask.shape[:2]
     k = protein_pos.shape[1]
     T = model.timesteps
+    steps = T if steps is None else min(steps, T)
     rng, rng_init = jax.random.split(rng)
 
     apply = lambda method, *a, **kw: model.apply(params, *a, method=method, **kw)
@@ -145,21 +148,24 @@ def sample_coarse_pocket(
 
     z = sample_combined_noise(rng_init, node_mask, model.n_dims, model.in_node_nf)
 
-    def step(z, s):
-        t_int = s + 1
-        gamma_s = jnp.broadcast_to(gamma_grid[s], (b, 1))
+    ladder = jnp.round(jnp.linspace(T, 0, steps + 1)).astype(jnp.int32)
+    t_arr, s_arr = ladder[:-1], ladder[1:]
+
+    def step(z, ts):
+        t_int, s_int = ts
+        gamma_s = jnp.broadcast_to(gamma_grid[s_int], (b, 1))
         gamma_t = jnp.broadcast_to(gamma_grid[t_int], (b, 1))
         t_norm = jnp.broadcast_to(t_int.astype(jnp.float32) / T, (b, 1))
         z_cat = jnp.concatenate([z, pocket_xh], axis=1)
         mu, sigma = apply(CoarseDiffusion.sample_zs_stats, z_cat, gamma_s, gamma_t,
                           nm_cat, em_cat, t_norm, None, mol_shape=n_mol)
-        eps = sample_combined_noise(jax.random.fold_in(rng, s), node_mask,
+        eps = sample_combined_noise(jax.random.fold_in(rng, s_int), node_mask,
                                     model.n_dims, model.in_node_nf)
         z_new = mu + sigma * eps
         zx = remove_mean_with_mask(z_new[:, :, : model.n_dims], node_mask)
         return jnp.concatenate([zx, z_new[:, :, model.n_dims:]], axis=2), ()
 
-    z, _ = jax.lax.scan(step, z, jnp.arange(T - 1, -1, -1))
+    z, _ = jax.lax.scan(step, z, (t_arr, s_arr))
 
     mu_x, sigma_x = apply(CoarseDiffusion.sample_x_given_z0_stats, z, node_mask, edge_mask, None)
     eps = sample_combined_noise(jax.random.fold_in(rng, T), node_mask, model.n_dims, model.in_node_nf)

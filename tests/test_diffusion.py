@@ -139,6 +139,20 @@ def test_pocket_conditioned_loss_and_sampling():
         batch["protein_edge_mask"])
     assert np.abs(np.asarray(x) - np.asarray(x2)).max() > 1e-4
 
+    # steps=T reproduces the full chain bit-exactly (the strided ladder
+    # degenerates to the reference schedule); steps<T runs and stays masked
+    x_full, h_full = sample_coarse_pocket(
+        model, params, jax.random.PRNGKey(5), batch["atom_mask"], batch["edge_mask"],
+        batch["protein_feat"], batch["protein_pos"], batch["protein_feat_mask"],
+        batch["protein_edge_mask"], steps=model.timesteps)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x_full))
+    x5, _ = sample_coarse_pocket(
+        model, params, jax.random.PRNGKey(5), batch["atom_mask"], batch["edge_mask"],
+        batch["protein_feat"], batch["protein_pos"], batch["protein_feat_mask"],
+        batch["protein_edge_mask"], steps=5)
+    assert np.all(np.isfinite(np.asarray(x5)))
+    assert float(masking_violation(x5, batch["atom_mask"])) < 1e-5
+
 
 def test_elem_mode():
     """node_coarse_type='elem': 3 integer feature dims, no continuous dims."""
