@@ -79,21 +79,29 @@ class EdgeDenoise(nn.Module):
     # passes 2-4x. while_loop has no reverse-mode, so training keeps the
     # static scan; samplers flip this on via model.clone(dynamic_depth=True).
     dynamic_depth: bool = False
+    # 'bfloat16' runs the dense (B,N,N,H) GCL pipelines in bf16 (f32
+    # accumulations/state — see ops/gcl.py). Inference-only option, OFF by
+    # default (reference-exact f32); enable after distribution validation
+    # like the coarse stage's bf16 path (BASELINE.md).
+    compute_dtype: Optional[str] = None
 
     def setup(self):
         h = self.hidden_nf
+        dt = self.compute_dtype
         self.feature_embedding = nn.Dense(h, kernel_init=torch_linear_init)
         self.vocab_embedding = nn.Embed(self.vocab_size, h)
         self.edge_embedding = nn.Dense(h, kernel_init=torch_linear_init)
         self.node_embedding = nn.Dense(h, kernel_init=torch_linear_init)
         self.gcl_full = [
             DenseEGCL(h, edges_in_d=h, attention=True, tanh=True, coords_range=30.0,
-                      coord_update=True, edge_update=True, gated=self.gated, name=f"gcl_full_{i}")
+                      coord_update=True, edge_update=True, gated=self.gated,
+                      compute_dtype=dt, name=f"gcl_full_{i}")
             for i in range(self.n_layers_full)
         ]
         self.gcl_focal = [
             DenseEGCL(h, edges_in_d=h, attention=False, tanh=True, coords_range=30.0,
-                      coord_update=True, edge_update=True, gated=self.gated, name=f"gcl_focal_{i}")
+                      coord_update=True, edge_update=True, gated=self.gated,
+                      compute_dtype=dt, name=f"gcl_focal_{i}")
             for i in range(self.n_layers_focal)
         ]
         self.gcl_edge = DenseEGCL(h, edges_in_d=1, attention=False, tanh=True, coords_range=30.0,

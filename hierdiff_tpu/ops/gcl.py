@@ -77,27 +77,37 @@ class DenseEGCL(nn.Module):
     # makes depth-scanned passes batch-composition-independent and lets
     # zero layers be true no-ops; set False to mimic the reference exactly.
     gated: bool = True
+    # 'bfloat16' runs the (B,N,N,H) message/coord/edge pipeline in bf16
+    # (doubled VPU width — same lever as the coarse stage's default bf16
+    # inference path, BASELINE.md) with f32 row-sum accumulation and f32
+    # node/residual state. None = exact f32 (reference numerics; default).
+    compute_dtype: Optional[str] = None
+
+    @property
+    def _dt(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     def setup(self):
         h = self.hidden_nf
+        dt = self._dt
         # decomposed first message layer: cat([h_src, h_dst, radial, e]) @ W
-        self.mes_src = nn.Dense(h, kernel_init=torch_linear_init, name="mes_src")
-        self.mes_dst = nn.Dense(h, use_bias=False, kernel_init=torch_linear_init, name="mes_dst")
-        self.mes_rad = nn.Dense(h, use_bias=False, kernel_init=torch_linear_init, name="mes_rad")
+        self.mes_src = nn.Dense(h, kernel_init=torch_linear_init, dtype=dt, name="mes_src")
+        self.mes_dst = nn.Dense(h, use_bias=False, kernel_init=torch_linear_init, dtype=dt, name="mes_dst")
+        self.mes_rad = nn.Dense(h, use_bias=False, kernel_init=torch_linear_init, dtype=dt, name="mes_rad")
         if self.edges_in_d > 0:
-            self.mes_e = nn.Dense(h, use_bias=False, kernel_init=torch_linear_init, name="mes_e")
-        self.mes_out = nn.Dense(h, kernel_init=torch_linear_init, name="mes_out")
+            self.mes_e = nn.Dense(h, use_bias=False, kernel_init=torch_linear_init, dtype=dt, name="mes_e")
+        self.mes_out = nn.Dense(h, kernel_init=torch_linear_init, dtype=dt, name="mes_out")
         if self.attention:
-            self.att = nn.Dense(1, kernel_init=torch_linear_init, name="att")
+            self.att = nn.Dense(1, kernel_init=torch_linear_init, dtype=dt, name="att")
         if self.coord_update:
-            self.coord_in = nn.Dense(h, kernel_init=torch_linear_init, name="coord_in")
+            self.coord_in = nn.Dense(h, kernel_init=torch_linear_init, dtype=dt, name="coord_in")
             self.coord_head = nn.Dense(1, use_bias=False,
-                                       kernel_init=xavier_scaled_init(0.001), name="coord_head")
+                                       kernel_init=xavier_scaled_init(0.001), dtype=dt, name="coord_head")
         self.node_in = nn.Dense(h, kernel_init=torch_linear_init, name="node_in")
         self.node_out = nn.Dense(h, kernel_init=torch_linear_init, name="node_out")
         if self.edge_update:
-            self.edge_in = nn.Dense(h, kernel_init=torch_linear_init, name="edge_in")
-            self.edge_out = nn.Dense(h, kernel_init=torch_linear_init, name="edge_out")
+            self.edge_in = nn.Dense(h, kernel_init=torch_linear_init, dtype=dt, name="edge_in")
+            self.edge_out = nn.Dense(h, kernel_init=torch_linear_init, dtype=dt, name="edge_out")
 
     # --- shared sub-computations (any aligned leading shape) ---------------
 
@@ -139,16 +149,21 @@ class DenseEGCL(nn.Module):
         radial, coord_diff = coord2radial_dense(x)
         pre_src = self.mes_src(h)[:, :, None, :]
         pre_dst = self.mes_dst(h)[:, None, :, :]
-        m = self.message(pre_src, pre_dst, radial, edge_attr) * dir_mask
+        m = self.message(pre_src, pre_dst, radial, edge_attr)
+        # with compute_dtype the whole (B,N,N,H) pipeline above ran in bf16;
+        # keep the mask in the same dtype so the product doesn't promote,
+        # and accumulate the row-sums in f32
+        m = m * dir_mask.astype(m.dtype)
 
         if self.coord_update:
             # x_j += sum_i (x_i - x_j)/(d+1) * phi(m_ij) (reference: gcl.py:131-155)
-            trans = coord_diff * self.coord_scalar(m) * dir_mask
+            scal = self.coord_scalar(m).astype(x.dtype)
+            trans = coord_diff * scal * dir_mask
             x = x + jnp.sum(trans, axis=1)
 
-        agg = jnp.sum(m, axis=1)
+        agg = jnp.sum(m, axis=1, dtype=jnp.float32)
         recv = (jnp.sum(dir_mask, axis=1) > 0).astype(h.dtype) if self.gated else None
-        h = self.node_update(h, agg, recv)
+        h = self.node_update(h.astype(jnp.float32), agg, recv)
 
         if node_mask is not None:
             h = h * node_mask
@@ -156,9 +171,12 @@ class DenseEGCL(nn.Module):
 
         if self.edge_update:
             # e' = edge_mlp([m, radial, e]) (reference: gcl.py:109-115)
-            eu = jnp.concatenate([m, radial] + ([edge_attr] if edge_attr is not None else []), axis=-1)
+            eu = jnp.concatenate(
+                [m, radial.astype(m.dtype)]
+                + ([edge_attr.astype(m.dtype)] if edge_attr is not None else []),
+                axis=-1)
             eu = nn.silu(self.edge_in(eu))
-            eu = self.edge_out(eu) * dir_mask
+            eu = self.edge_out(eu) * dir_mask.astype(m.dtype)
             return h, x, eu
         return h, x
 

@@ -371,3 +371,29 @@ def test_refine_dynamic_depth_parity():
     for k in out_s:
         np.testing.assert_allclose(np.asarray(out_s[k]), np.asarray(out_d[k]),
                                    rtol=0, atol=1e-6, err_msg=k)
+
+
+def test_fine_bf16_compute_dtype(denoise_setup, gen):
+    """compute_dtype='bfloat16' (inference option) runs the dense GCL
+    pipelines in bf16 with f32 accumulation: same params, outputs close to
+    f32, and the lattice trajectory's type choices mostly agree (same lever
+    as the coarse stage's bf16 path, BASELINE.md)."""
+    model, params, batch, _ = denoise_setup
+    bf16 = model.clone(compute_dtype="bfloat16")
+    out32 = model.apply(params, batch)
+    out16 = bf16.apply(params, batch)
+    # losses track within bf16 noise (the heads/state stay f32)
+    assert float(out16["total_loss"]) == pytest.approx(
+        float(out32["total_loss"]), rel=0.05)
+
+    trees = gen.sample_trees(2, n=6)
+    feats = jnp.asarray(np.stack([t.feats for t in trees]))
+    pos = jnp.asarray(np.stack([t.pos for t in trees]))
+    nmask = jnp.ones((2, 6, 1))
+    lat32 = model.apply(params, feats, pos, nmask, method=EdgeDenoise.ar_lattice)
+    lat16 = bf16.apply(params, feats, pos, nmask, method=EdgeDenoise.ar_lattice)
+    # identical trajectory structure; top-1 types agree at nearly every step
+    np.testing.assert_array_equal(np.asarray(lat32["target"]), np.asarray(lat16["target"]))
+    top32 = np.asarray(lat32["top_wid"])[..., 0]
+    top16 = np.asarray(lat16["top_wid"])[..., 0]
+    assert (top32 == top16).mean() >= 0.8
