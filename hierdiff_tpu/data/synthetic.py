@@ -33,7 +33,18 @@ class SyntheticTree:
 
 
 class SyntheticTreeGenerator:
-    def __init__(self, seed: int = 0, mode: str = "prop", dataset: str = "geom"):
+    def __init__(self, seed: int = 0, mode: str = "prop", dataset: str = "geom",
+                 planted: bool = False, planted_k: int = 32):
+        """``planted=True`` plants a deterministic, learnable feature->type
+        signal: every tree uses ONE vocab id drawn from ``planted_k``
+        unique-fingerprint entries, so (a) the denoise node head can recover
+        the type from the new node's visible fp (bijective on the subset)
+        and (b) the refine head can recover a masked node's type from its
+        neighbors' ids. Separates "head is wired correctly" (accuracy must
+        climb far above chance) from "labels are noise" — the default
+        uniform-wid data caps node accuracy only via fp-row collisions
+        (750/780 prop fps are unique, so its ceiling is ~96%, not 10%).
+        """
         self.rng = np.random.default_rng(seed)
         hist = load_histogram(dataset)
         self.counts = np.array(sorted(hist.keys()))
@@ -43,6 +54,13 @@ class SyntheticTreeGenerator:
         fps = load_vocab_fps(mode)
         self.fp_table = np.stack([fps[s] for s in self.smiles])  # (V, 5)
         self.mode = mode
+        self.planted = planted
+        if planted:
+            from collections import Counter
+            rows = [tuple(r) for r in self.fp_table]
+            counts_by_row = Counter(rows)
+            uniq = [i for i, r in enumerate(rows) if counts_by_row[r] == 1]
+            self.planted_wids = np.array(uniq[:planted_k], np.int64)
 
     def sample_count(self) -> int:
         return int(self.rng.choice(self.counts, p=self.count_probs))
@@ -65,7 +83,10 @@ class SyntheticTreeGenerator:
             pos[i] = pos[p] + direction * dist
         pos -= pos.mean(axis=0, keepdims=True)
 
-        wids = rng.integers(0, len(self.smiles), size=n)
+        if self.planted:
+            wids = np.full(n, rng.choice(self.planted_wids), np.int64)
+        else:
+            wids = rng.integers(0, len(self.smiles), size=n)
         fp = self.fp_table[wids]                       # (n, 5) prop | (n, 3) elem
         if self.mode == "elem":
             # elem coarse features are the bare 3-column element-count fp
