@@ -160,8 +160,32 @@ def bench_fine(n_molecules: int, beam: int, max_n: int = 12):
           None)
 
 
+def _synthetic_gate(reject_frac: float):
+    """Deterministic stand-in for the RDKit can_assemble gate: rejects a
+    tunable fraction of (fragment, typed-neighbor-set) combos by hash, like
+    the memoized real gate (chem/assemble_gate.py) but runnable without
+    RDKit. Characterizes beam-search backtracking churn under rejection —
+    the reference's actual cost driver (ar_sampling_nosize.py:199-200)."""
+    import zlib
+
+    def gate(state, i: int) -> bool:
+        wid = int(state.wids[i])
+        if wid < 0:
+            return True
+        row = np.nonzero(state.adj[i])[0]
+        neis = tuple(sorted(int(state.wids[j]) for j in row
+                            if j != i and int(state.wids[j]) >= 0))
+        if not neis:
+            return True
+        h = zlib.crc32(repr((wid, neis)).encode()) / 0xFFFFFFFF
+        return h >= reject_frac
+
+    return gate
+
+
 def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
-                   steps: int = 0, bf16: bool = True):
+                   steps: int = 0, bf16: bool = True, refine: bool = False,
+                   gate_reject: float = 0.0):
     import jax
     import random
     import jax.numpy as jnp
@@ -177,8 +201,29 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
     dummy = {k: jnp.asarray(v) for k, v in
              make_denoise_batch(gen.sample_trees(2, n=8), random.Random(0), max_n=8).items()}
     dparams = jax.jit(denoise.init)(jax.random.PRNGKey(2), dummy)
+
+    refine_hook = None
+    if refine:
+        # the reference ALWAYS runs the check_tree perturbation on every
+        # queue pop (ar_sampling_nosize.py:138-143); this measures that cost
+        # at the trained config scale (hidden 256)
+        from hierdiff_tpu.chem.mol_tree import Vocab
+        from hierdiff_tpu.data.refine import make_refine_batch
+        from hierdiff_tpu.models.refine import NodeRefine
+        from hierdiff_tpu.sampling.refine_hook import RefineHook
+
+        rmodel = NodeRefine()
+        rb = {k: jnp.asarray(v) for k, v in
+              make_refine_batch(gen.sample_trees(2, n=8), random.Random(1),
+                                max_n=8).items()}
+        rparams = jax.jit(rmodel.init)(jax.random.PRNGKey(3), rb)
+        refine_hook = RefineHook(rmodel, rparams, np.asarray(Vocab().mol_sizes))
+
+    gate = _synthetic_gate(gate_reject) if gate_reject > 0 else None
+
     pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
                               histogram=load_geom_histogram(), beam_size=beam,
+                              refine_hook=refine_hook, can_assemble=gate,
                               sample_steps=steps or None)
     # same key for warmup and timing: molecule sizes (and thus the set of
     # compiled buckets) must match or compiles leak into the timed region
@@ -191,10 +236,14 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
     ok = sum(t is not None for t in result.trees)
     st = result.stats or {}
     n_steps = steps or coarse.timesteps
+    tags = ("+refine" if refine else "") + (
+        f"+gate{gate_reject:g}" if gate_reject else "")
     _emit("pipeline_molecules_per_sec_per_chip", ok / dt,
-          f"molecules/sec/chip ({n_steps}-step EDM + beam-{beam} lattice AR, {n_molecules} molecules)",
+          f"molecules/sec/chip ({n_steps}-step EDM + beam-{beam} lattice AR{tags}, "
+          f"{n_molecules} molecules)",
           None, t_coarse=round(st.get("t_coarse", 0.0), 2),
-          t_fine=round(st.get("t_fine", 0.0), 2))
+          t_fine=round(st.get("t_fine", 0.0), 2),
+          assembled=ok)
 
 
 def main():
@@ -212,6 +261,13 @@ def main():
     p.add_argument("--unroll", type=int, default=1)
     p.add_argument("--steps", type=int, default=0,
                    help="strided reverse steps (0 = full 1000)")
+    p.add_argument("--refine", action="store_true",
+                   help="pipeline: run the check_tree refine hook on every "
+                        "pop like the reference (ar_sampling_nosize.py:138)")
+    p.add_argument("--gate-reject", type=float, default=0.0,
+                   help="pipeline: synthetic assembly gate rejecting this "
+                        "fraction of candidate expansions (measures "
+                        "beam-search backtracking churn)")
     args = p.parse_args()
     if args.stage == "coarse":
         bench_coarse(args.batch, max_n=args.max_n, use_pallas=args.pallas,
@@ -220,7 +276,8 @@ def main():
         bench_fine(args.num, args.beam, max_n=args.max_n)
     else:
         bench_pipeline(args.num, args.beam, batch_size=args.batch,
-                       steps=args.steps, bf16=args.bf16)
+                       steps=args.steps, bf16=args.bf16, refine=args.refine,
+                       gate_reject=args.gate_reject)
 
 
 if __name__ == "__main__":
