@@ -110,8 +110,15 @@ class EGNNDynamics(nn.Module):
         if self.condition_time:
             h_final = h_final[:, :, :-1]
 
-        # NaN guard (reference: en_dynamics.py:109-111)
-        vel = jnp.where(jnp.any(jnp.isnan(vel)), jnp.zeros_like(vel), vel)
+        # NaN guard (reference: en_dynamics.py:109-111). PER-SAMPLE instead
+        # of the reference's whole-batch any(): bit-identical when no NaN
+        # occurs, only zeroes the offending molecule when one does, and —
+        # critically for scaling — keeps the reduction shard-local. The
+        # batch-global any() forced XLA to emit a scalar pred all-reduce
+        # inside EVERY reverse step when the batch is sharded over a mesh
+        # (a cross-chip sync per step; see tests/test_weak_scaling.py).
+        bad = jnp.any(jnp.isnan(vel), axis=(1, 2), keepdims=True)
+        vel = jnp.where(bad, jnp.zeros_like(vel), vel)
         vel = remove_mean_with_mask(vel, node_mask)
 
         if h_dims == 0:

@@ -65,12 +65,19 @@ def _mm(a: Array, w: Array, dtype, out_dtype=None) -> Array:
 def _masked_rowsum(m: Array, edge_mask: Array) -> Array:
     """sum_j m[b,i,j,:] * edge_mask[b,i,j] via dot_general (batch (b,i),
     contract j). m (B,N,N,C), edge_mask (B,N,N,1) or (B,N,N) -> (B,N,C) f32.
-    For f32 m, HIGHEST precision keeps exact f32-sum semantics (the mask is
-    0/1); bf16 m accumulates in f32."""
+
+    Precision: f32 m needs HIGHEST so the 0/1-mask products are not
+    truncated to bf16 operands (exact f32-sum semantics). bf16 m must NOT
+    use HIGHEST — the operands are already bf16 (products exact, f32
+    accumulation via preferred_element_type), and HIGHEST would force the
+    multi-pass emulation: profiled at 18-24% of TOTAL sampler device time
+    for <1% of its FLOPs (scripts/roofline.py, round 3)."""
     mask = edge_mask[..., 0] if edge_mask.ndim == 4 else edge_mask
+    prec = (jax.lax.Precision.HIGHEST if m.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     return jax.lax.dot_general(
         mask.astype(m.dtype), m, (((2,), (2,)), ((0, 1), (0, 1))),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
         preferred_element_type=jnp.float32)
 
 
@@ -153,7 +160,8 @@ class DenseGCL(nn.Module):
                 and not self.is_initializing()):
             from hierdiff_tpu.ops.egnn_pallas import fused_gcl
             return fused_gcl(h, edge_attr, edge_mask, node_mask, p,
-                             self.normalization_factor, self.attention)
+                             self.normalization_factor, self.attention,
+                             compute_dtype=self.compute_dtype)
 
         ei, dt = p["edge_in"], self.compute_dtype
         # with compute_dtype set, the whole (B,N,N,H) edge pipeline runs in
@@ -232,7 +240,8 @@ class DenseEquivariantUpdate(nn.Module):
             from hierdiff_tpu.ops.egnn_pallas import fused_coord_update
             return fused_coord_update(h, edge_attr, coord_diff, x, edge_mask,
                                       node_mask, p, self.normalization_factor,
-                                      self.tanh, self.coords_range)
+                                      self.tanh, self.coords_range,
+                                      compute_dtype=self.compute_dtype)
         ci, dt = p["coord_in"], self.compute_dtype
         act = jnp.dtype(dt) if dt is not None else None
         cast = (lambda v: v.astype(act)) if act is not None else (lambda v: v)

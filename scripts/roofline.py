@@ -1,0 +1,153 @@
+"""Roofline the coarse sampler: per-category device-time budget + MFU ceiling.
+
+VERDICT r2 weak #3 asked for evidence behind the ~36% MFU plateau. This
+captures a jax.profiler trace of the sampler at a bucket, parses the
+trace.json.gz event stream (sum of `dur` by event name — the same recipe
+that found the 92%-elementwise hot path in round 2), buckets events into
+MXU (dot/conv), VPU (loop fusions / elementwise), copy/layout, and other,
+then combines the measured split with the analytic op counts to state the
+practical MFU ceiling at these shapes:
+
+  ceiling = matmul_flops / (T_mxu_at_peak + T_vpu_measured)
+
+i.e. even with the MXU at 100% efficiency, the elementwise (B,N,N,H)
+algebra the EGNN interleaves between matmuls bounds MFU via VPU throughput.
+
+  python scripts/roofline.py --max-n 12 [--batch 64] [--steps 100] [--bf16]
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+# container HLOs whose duration overlaps their children on the same lane
+CONTAINERS = {"while", "conditional", "call", "fusion-wrapper"}
+
+
+def parse_trace(trace_dir: str):
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {trace_dir}")
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # leaf XLA ops live on the "XLA Ops" thread of the TPU device process;
+    # everything else (host python, module spans, step markers) OVERLAPS
+    # those events and would double-count. Events carry hlo_category +
+    # model_flops, which is the ground truth for the MXU/VPU split
+    # ('convolution fusion' = fusions containing the dots).
+    thread_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            thread_names[(e.get("pid"), e.get("tid"))] = e["args"]["name"]
+    op_lanes = {k for k, v in thread_names.items() if "XLA Ops" in v}
+    by_name = collections.Counter()
+    cat_time = collections.Counter()
+    cat_flops = collections.Counter()
+    total = 0
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e or not e.get("name"):
+            continue
+        if op_lanes and (e.get("pid"), e.get("tid")) not in op_lanes:
+            continue
+        args = e.get("args") or {}
+        cat = args.get("hlo_category", "unknown")
+        if cat in CONTAINERS:
+            continue
+        dur = e["dur"]
+        by_name[f"{e['name']} [{cat}]"] += dur
+        cat_time[cat] += dur
+        cat_flops[cat] += int(args.get("model_flops", 0) or 0)
+        total += dur
+    return by_name, cat_time, cat_flops, total, path
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--max-n", type=int, default=12)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--steps", type=int, default=100,
+                   help="strided steps for the traced run (FLOP ratios are "
+                        "per-step identical; 100 keeps traces small)")
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--out", default="/tmp/hierdiff_roofline")
+    p.add_argument("--peak-tflops", type=float,
+                   default=float(os.environ.get("BENCH_PEAK_TFLOPS", "197")))
+    p.add_argument("--parse-only", action="store_true",
+                   help="skip the run, parse an existing trace under --out")
+    args = p.parse_args()
+
+    if not args.parse_only:
+        import jax
+        import jax.numpy as jnp
+
+        from bench import make_models
+        from hierdiff_tpu.sampling import make_masks_for_counts, sample_coarse
+
+        coarse, cparams, _ = make_models(coarse_kw={
+            "compute_dtype": "bfloat16" if args.bf16 else None})
+        rng = np.random.default_rng(0)
+        counts = rng.integers(max(4, args.max_n - 8), args.max_n + 1,
+                              size=args.batch)
+        nm, em = make_masks_for_counts(counts, args.max_n)
+        nm, em = jnp.asarray(nm), jnp.asarray(em)
+        x, _ = sample_coarse(coarse, cparams, jax.random.PRNGKey(0), nm, em,
+                             steps=args.steps)
+        np.asarray(x)
+        with jax.profiler.trace(args.out):
+            for i in range(args.reps):
+                x, _ = sample_coarse(coarse, cparams, jax.random.PRNGKey(1 + i),
+                                     nm, em, steps=args.steps)
+                np.asarray(x)
+
+    by_name, cat_time, cat_flops, total, path = parse_trace(args.out)
+    print(f"# parsed {path}")
+    print(f"# total leaf op time: {total/1e6:.4f} s (over all reps; containers excluded)")
+    print("\n## hlo_category budget")
+    for cat, t in cat_time.most_common():
+        fl = cat_flops[cat]
+        rate = fl / (t / 1e6) / 1e12 if t else 0.0
+        print(f"{cat:26s} {t/1e6:9.4f} s  {100*t/total:5.1f}%   "
+              f"{fl/1e9:10.2f} GF  ({rate:6.1f} TFLOP/s)")
+    print("\n## top events")
+    for name, t in by_name.most_common(12):
+        print(f"{name:55s} {t/1e6:9.4f} s  {100*t/total:5.1f}%")
+
+    # roofline: dot-bearing fusions vs everything else
+    from bench import _egnn_matmul_flops
+    flops = (args.steps + 1) * _egnn_matmul_flops(args.batch, args.max_n,
+                                                  256, 6, 2) * args.reps
+    dot_cats = [c for c in cat_time if "convolution" in c or "dot" in c]
+    t_dot = sum(cat_time[c] for c in dot_cats) / 1e6
+    f_dot = sum(cat_flops[c] for c in dot_cats)
+    t_rest = total / 1e6 - t_dot
+    peak = args.peak_tflops * 1e12
+    print("\n## roofline")
+    print(f"analytic matmul FLOPs (x{args.reps} reps): {flops/1e12:.3f} TF "
+          f"(trace model_flops in dot fusions: {f_dot/1e12:.3f} TF)")
+    print(f"dot-bearing fusion time: {t_dot:.4f} s -> "
+          f"{f_dot/max(t_dot,1e-9)/1e12:.1f} TFLOP/s = "
+          f"{100*f_dot/max(t_dot,1e-9)/peak:.1f}% of peak IN-fusion")
+    print(f"non-dot time:            {t_rest:.4f} s ({100*t_rest/(total/1e6):.1f}%)")
+    print(f"op-time MFU:             {100*f_dot/(total/1e6)/peak:.1f}% "
+          f"(wall-clock MFU is lower by the dispatch/gap fraction)")
+    ceiling = f_dot / (f_dot / peak + t_rest) / peak
+    print(f"ceiling if dot fusions hit 100% MXU peak and non-dot time stayed: "
+          f"{100*ceiling:.1f}%")
+
+
+if __name__ == "__main__":
+    main()
