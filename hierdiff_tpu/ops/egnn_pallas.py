@@ -31,10 +31,26 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _dot(a, b):
-    """bf16 operands, f32 accumulation."""
-    return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
+def _dot(a, b, out_dtype=jnp.float32):
+    """bf16 operands, f32 accumulation; ``out_dtype`` bf16 keeps the
+    downstream elementwise pipeline at doubled VPU width. Mosaic requires
+    the tpu.matmul accumulator itself to be 32-bit, so the downcast is a
+    separate convert after the f32 dot."""
+    out = jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    return out if out_dtype == jnp.float32 else out.astype(out_dtype)
+
+
+def _sigmoid(x):
+    """Manual sigmoid: Mosaic cannot lower bf16 `logistic` (commit bfb9f4a
+    — 'vector.broadcast' element-type verification failure), but exp and
+    divide lower fine in bf16, so express it directly."""
+    one = jnp.asarray(1.0, x.dtype)
+    return one / (one + jnp.exp(-x))
+
+
+def _silu(x):
+    return x * _sigmoid(x)
 
 
 def _pick_tiles(b: int, n: int, h: int) -> Tuple[int, int]:
@@ -56,34 +72,46 @@ def _pick_tiles(b: int, n: int, h: int) -> Tuple[int, int]:
     return tb, ci
 
 
-def _edge_mlp(h_src, h_full, e, wsrc_ref, wdst_ref, we_ref, b1_ref, w2_ref, b2_ref):
-    """Shared message pipeline: (TB,CI,H) x (TB,N,H) -> m (TB,CI,N,H)."""
+def _edge_mlp(h_src, h_full, e, wsrc_ref, wdst_ref, we_ref, b1_ref, w2_ref,
+              b2_ref, act_dtype=jnp.float32):
+    """Shared message pipeline: (TB,CI,H) x (TB,N,H) -> m (TB,CI,N,H).
+
+    ``act_dtype=bfloat16`` keeps every (TB,CI,N,H) intermediate in bf16
+    (doubled VPU width; matmul accumulation stays f32 inside the MXU) —
+    silu goes through the manual exp form to dodge the Mosaic bf16
+    `logistic` lowering bug."""
     tb, ci, hd = h_src.shape
     n = h_full.shape[1]
-    hs = _dot(h_src.reshape(tb * ci, hd), wsrc_ref[:])
-    hdst = _dot(h_full.reshape(tb * n, hd), wdst_ref[:])
-    ep = _dot(e.reshape(tb * ci * n, e.shape[-1]), we_ref[:])
+    bf = act_dtype == jnp.bfloat16
+    silu = _silu if bf else jax.nn.silu
+    hs = _dot(h_src.reshape(tb * ci, hd), wsrc_ref[:], act_dtype)
+    hdst = _dot(h_full.reshape(tb * n, hd), wdst_ref[:], act_dtype)
+    ep = _dot(e.reshape(tb * ci * n, e.shape[-1]), we_ref[:], act_dtype)
     pre = (hs.reshape(tb, ci, 1, hd) + hdst.reshape(tb, 1, n, hd)
-           + ep.reshape(tb, ci, n, hd) + b1_ref[:])
-    m = jax.nn.silu(pre)
-    m = _dot(m.reshape(tb * ci * n, hd), w2_ref[:]) + b2_ref[:]
-    return jax.nn.silu(m)  # (TB*CI*N, H)
+           + ep.reshape(tb, ci, n, hd) + b1_ref[:].astype(act_dtype))
+    m = silu(pre)
+    m = _dot(m.reshape(tb * ci * n, hd), w2_ref[:], act_dtype) + b2_ref[:].astype(act_dtype)
+    return silu(m)  # (TB*CI*N, H)
 
 
 def _gcl_kernel(h_src_ref, h_full_ref, e_ref, emask_ref, nmask_ref,
                 wsrc_ref, wdst_ref, we_ref, b1_ref, w2_ref, b2_ref,
                 attw_ref, attb_ref, nw1_ref, nb1_ref, nw2_ref, nb2_ref,
-                out_ref, *, norm_factor: float, attention: bool):
+                out_ref, *, norm_factor: float, attention: bool,
+                act_dtype=jnp.float32):
     h_src = h_src_ref[:]                  # (TB, CI, H)
     tb, ci, hd = h_src.shape
     n = h_full_ref.shape[1]
+    bf = act_dtype == jnp.bfloat16
+    sigmoid = _sigmoid if bf else jax.nn.sigmoid
     m = _edge_mlp(h_src, h_full_ref[:], e_ref[:], wsrc_ref, wdst_ref, we_ref,
-                  b1_ref, w2_ref, b2_ref)
+                  b1_ref, w2_ref, b2_ref, act_dtype)
     if attention:
-        att = jax.nn.sigmoid(_dot(m, attw_ref[:]) + attb_ref[:])
+        att = sigmoid(_dot(m, attw_ref[:], act_dtype) + attb_ref[:].astype(act_dtype))
         m = m * att
-    m = m.reshape(tb, ci, n, hd) * emask_ref[:]
-    agg = jnp.sum(m, axis=2) / norm_factor           # (TB, CI, H)
+    m = m.reshape(tb, ci, n, hd) * emask_ref[:].astype(act_dtype)
+    # row-sum accumulates in f32 even for bf16 messages
+    agg = jnp.sum(m, axis=2, dtype=jnp.float32) / norm_factor   # (TB, CI, H)
     cat = jnp.concatenate([h_src, agg], axis=-1).reshape(tb * ci, 2 * hd)
     o = jax.nn.silu(_dot(cat, nw1_ref[:]) + nb1_ref[:])
     o = _dot(o, nw2_ref[:]) + nb2_ref[:]
@@ -91,13 +119,16 @@ def _gcl_kernel(h_src_ref, h_full_ref, e_ref, emask_ref, nmask_ref,
 
 
 def fused_gcl(h: Array, edge_attr: Array, edge_mask: Array, node_mask: Array,
-              params: dict, normalization_factor: float, attention: bool = True) -> Array:
+              params: dict, normalization_factor: float, attention: bool = True,
+              compute_dtype=None) -> Array:
     """One coarse-stage GCL, fully fused. Shapes: h (B,N,H), edge_attr
     (B,N,N,E), edge_mask (B,N,N,1), node_mask (B,N,1). ``params`` is the
-    flax param subtree of ops.egnn.DenseGCL."""
+    flax param subtree of ops.egnn.DenseGCL. ``compute_dtype='bfloat16'``
+    keeps the in-VMEM edge pipeline bf16 (f32 row-sum accumulation)."""
     b, n, hd = h.shape
     tb, ci = _pick_tiles(b, n, hd)
     grid = (b // tb, n // ci)
+    act_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
     row = lambda shape: pl.BlockSpec(shape, lambda bi, ii: (bi, ii) + (0,) * (len(shape) - 2),
                                      memory_space=pltpu.VMEM)
@@ -113,7 +144,7 @@ def fused_gcl(h: Array, edge_attr: Array, edge_mask: Array, node_mask: Array,
     attb = att["bias"] if attention else jnp.zeros((1,), jnp.float32)
 
     kernel = functools.partial(_gcl_kernel, norm_factor=normalization_factor,
-                               attention=attention)
+                               attention=attention, act_dtype=act_dtype)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, hd), jnp.float32),
@@ -138,13 +169,14 @@ def fused_gcl(h: Array, edge_attr: Array, edge_mask: Array, node_mask: Array,
 
 def _coord_kernel(h_src_ref, h_full_ref, e_ref, cdiff_ref, emask_ref, nmask_ref, x_ref,
                   wsrc_ref, wdst_ref, we_ref, b1_ref, w2_ref, b2_ref, whead_ref,
-                  out_ref, *, norm_factor: float, tanh: bool, coords_range: float):
+                  out_ref, *, norm_factor: float, tanh: bool, coords_range: float,
+                  act_dtype=jnp.float32):
     h_src = h_src_ref[:]
     tb, ci, hd = h_src.shape
     n = h_full_ref.shape[1]
     m = _edge_mlp(h_src, h_full_ref[:], e_ref[:], wsrc_ref, wdst_ref, we_ref,
-                  b1_ref, w2_ref, b2_ref)
-    s = _dot(m, whead_ref[:])
+                  b1_ref, w2_ref, b2_ref, act_dtype)
+    s = _dot(m, whead_ref[:])             # f32 scalar head
     if tanh:
         s = jnp.tanh(s) * coords_range
     s = s.reshape(tb, ci, n, 1)
@@ -156,11 +188,12 @@ def _coord_kernel(h_src_ref, h_full_ref, e_ref, cdiff_ref, emask_ref, nmask_ref,
 def fused_coord_update(h: Array, edge_attr: Array, coord_diff: Array, x: Array,
                        edge_mask: Array, node_mask: Array, params: dict,
                        normalization_factor: float, tanh: bool,
-                       coords_range: float) -> Array:
+                       coords_range: float, compute_dtype=None) -> Array:
     """Fused EquivariantUpdate (ops.egnn.DenseEquivariantUpdate params)."""
     b, n, hd = h.shape
     tb, ci = _pick_tiles(b, n, hd)
     grid = (b // tb, n // ci)
+    act_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     row = lambda shape: pl.BlockSpec(shape, lambda bi, ii: (bi, ii) + (0,) * (len(shape) - 2),
                                      memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda bi, ii: (bi,) + (0,) * (len(shape) - 1),
@@ -168,7 +201,8 @@ def fused_coord_update(h: Array, edge_attr: Array, coord_diff: Array, x: Array,
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     ci_p = params["coord_in"]
     kernel = functools.partial(_coord_kernel, norm_factor=normalization_factor,
-                               tanh=tanh, coords_range=coords_range)
+                               tanh=tanh, coords_range=coords_range,
+                               act_dtype=act_dtype)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, 3), jnp.float32),

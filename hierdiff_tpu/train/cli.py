@@ -91,6 +91,12 @@ BUILDERS = {"coarse": (build_coarse, coarse_iter),
 
 
 def main(argv=None):
+    import os
+    if os.environ.get("HIERDIFF_PLATFORM"):
+        # debug/CI platform override (reference: trainer/debug.yaml CPU
+        # mode). Must land before first backend use; plain JAX_PLATFORMS is
+        # not enough on hosts whose sitecustomize pins the platform list.
+        jax.config.update("jax_platforms", os.environ["HIERDIFF_PLATFORM"])
     from hierdiff_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     parser = argparse.ArgumentParser(description="HierDiff-TPU training")

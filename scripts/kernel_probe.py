@@ -42,7 +42,9 @@ def probe(b: int, n: int, hidden: int, reps: int):
     K = 64
     out = {}
     for tag, kw in [("xla", {}), ("pallas", {"use_pallas": True}),
-                    ("xla-bf16", {"compute_dtype": "bfloat16"})]:
+                    ("xla-bf16", {"compute_dtype": "bfloat16"}),
+                    ("pallas-bf16", {"use_pallas": True,
+                                     "compute_dtype": "bfloat16"})]:
         m = DenseGCL(hidden, normalization_factor=10.0, attention=True, **kw)
 
         def chain(p, h0):

@@ -157,6 +157,9 @@ class Atom:
         if flag and self._explicit_hs is None:
             self._explicit_hs = 0
 
+    def GetIsAromatic(self):
+        return False  # the HierDiff vocabulary is fully kekulized
+
     # graph queries (need the owning mol)
     def _bond_order_sum(self) -> float:
         return sum(b.GetBondTypeAsDouble() for b in self.GetBonds())
@@ -242,6 +245,9 @@ class Bond:
     def IsInRing(self):
         e = frozenset((self._a1, self._a2))
         return e in self._mol._ring_edges()
+
+    def GetStereo(self):
+        return 0  # no stereo model (vocabulary carries none)
 
 
 class Conformer:
