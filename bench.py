@@ -133,7 +133,8 @@ def bench_coarse(batch_size: int, max_n: int = 12, use_pallas: bool = False,
           tflops=round(tflops, 2), mfu=round(mfu, 4))
 
 
-def bench_fine(n_molecules: int, beam: int, max_n: int = 12):
+def bench_fine(n_molecules: int, beam: int, max_n: int = 12,
+               fine_bf16: bool = False):
     import jax
     import random
 
@@ -142,7 +143,8 @@ def bench_fine(n_molecules: int, beam: int, max_n: int = 12):
     from hierdiff_tpu.sampling.lattice import LatticeSampler
     import jax.numpy as jnp
 
-    _, _, denoise = make_models()
+    _, _, denoise = make_models(denoise_kw=(
+        {"compute_dtype": "bfloat16"} if fine_bf16 else {}))
     gen = SyntheticTreeGenerator(seed=0)
     dummy = {k: jnp.asarray(v) for k, v in
              make_denoise_batch(gen.sample_trees(2, n=8), random.Random(0), max_n=8).items()}
@@ -155,8 +157,10 @@ def bench_fine(n_molecules: int, beam: int, max_n: int = 12):
     results = sampler.sample(blur)
     dt = time.perf_counter() - t0
     ok = sum(r is not None for r in results)
+    kern = "bf16" if fine_bf16 else "f32"
     _emit("fine_assembly_trees_per_sec_per_chip", ok / dt,
-          f"trees/sec/chip (lattice AR, beam {beam}, {n_molecules} molecules, N={max_n})",
+          f"trees/sec/chip (lattice AR, beam {beam}, {n_molecules} molecules, "
+          f"N={max_n}, {kern})",
           None)
 
 
@@ -264,6 +268,9 @@ def main():
     p.add_argument("--refine", action="store_true",
                    help="pipeline: run the check_tree refine hook on every "
                         "pop like the reference (ar_sampling_nosize.py:138)")
+    p.add_argument("--fine-bf16", action="store_true",
+                   help="fine stage: bf16 dense GCL pipelines (opt-in, "
+                        "see ops/gcl.py compute_dtype)")
     p.add_argument("--gate-reject", type=float, default=0.0,
                    help="pipeline: synthetic assembly gate rejecting this "
                         "fraction of candidate expansions (measures "
@@ -273,7 +280,8 @@ def main():
         bench_coarse(args.batch, max_n=args.max_n, use_pallas=args.pallas,
                      bf16=args.bf16, unroll=args.unroll, steps=args.steps)
     elif args.stage == "fine":
-        bench_fine(args.num, args.beam, max_n=args.max_n)
+        bench_fine(args.num, args.beam, max_n=args.max_n,
+                   fine_bf16=args.fine_bf16)
     else:
         bench_pipeline(args.num, args.beam, batch_size=args.batch,
                        steps=args.steps, bf16=args.bf16, refine=args.refine,

@@ -67,11 +67,12 @@ def _masked_rowsum(m: Array, edge_mask: Array) -> Array:
     contract j). m (B,N,N,C), edge_mask (B,N,N,1) or (B,N,N) -> (B,N,C) f32.
 
     Precision: f32 m needs HIGHEST so the 0/1-mask products are not
-    truncated to bf16 operands (exact f32-sum semantics). bf16 m must NOT
-    use HIGHEST — the operands are already bf16 (products exact, f32
-    accumulation via preferred_element_type), and HIGHEST would force the
-    multi-pass emulation: profiled at 18-24% of TOTAL sampler device time
-    for <1% of its FLOPs (scripts/roofline.py, round 3)."""
+    truncated to bf16 operands (exact f32-sum semantics). bf16 m uses
+    DEFAULT — the operands are already bf16 (products exact, f32
+    accumulation via preferred_element_type), so HIGHEST adds nothing
+    (measured a no-op on TPU: identical trace and wall clock, round-3
+    roofline A/B). The fusion's 18-24% time share is intrinsic — it
+    re-reads the (B,N,N,H) message tensor from HBM."""
     mask = edge_mask[..., 0] if edge_mask.ndim == 4 else edge_mask
     prec = (jax.lax.Precision.HIGHEST if m.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)

@@ -80,7 +80,7 @@ def build_coarse_from_cfg(cfg: dict, use_pallas: Optional[bool] = None,
         condition_time=m["condition_time"], context_node_nf=m["context_node_nf"])
 
 
-def build_denoise_from_cfg(cfg: dict):
+def build_denoise_from_cfg(cfg: dict, compute_dtype: Optional[str] = None):
     from hierdiff_tpu.models.edge_denoise import EdgeDenoise
 
     m = cfg["denoise"]
@@ -88,7 +88,8 @@ def build_denoise_from_cfg(cfg: dict):
         vocab_size=m["vocab_size"], out_node_nf=m["out_node_nf"],
         in_node_nf=m["in_node_nf"], hidden_nf=m["hidden_nf"],
         n_layers_full=m["n_layers_full"], n_layers_focal=m["n_layers_focal"],
-        vocab_conditioning=m.get("vocab_conditioning", False))
+        vocab_conditioning=m.get("vocab_conditioning", False),
+        compute_dtype=compute_dtype)
 
 
 def build_refine_from_cfg(cfg: dict):
@@ -170,7 +171,8 @@ def cmd_generate(args):
         ccfg, use_pallas=args.pallas or None,
         compute_dtype="bfloat16" if args.bf16 else "float32")
     dparams, dcfg, dstep = load_checkpoint_params(args.denoise_workdir)
-    denoise = build_denoise_from_cfg(dcfg)
+    denoise = build_denoise_from_cfg(
+        dcfg, compute_dtype="bfloat16" if args.fine_bf16 else None)
     print(f"coarse @ {cstep}, denoise @ {dstep}")
 
     mesh = None
@@ -271,6 +273,9 @@ def main(argv=None):
     pg.add_argument("--seed", type=int, default=2022)
     pg.add_argument("--pallas", action="store_true")
     pg.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=True)
+    pg.add_argument("--fine-bf16", action="store_true",
+                    help="bf16 dense GCL pipelines in the fine stage "
+                         "(opt-in; f32 reference-exact by default)")
     pg.add_argument("--sample-steps", type=int, default=0)
     pg.add_argument("--data-parallel", action=argparse.BooleanOptionalAction,
                     default=True, help="shard generation over all devices")

@@ -21,7 +21,8 @@ import time
 import numpy as np
 
 
-def measure(bucket: int, batch: int, remat: bool, prefetch: bool, steps: int):
+def measure(bucket: int, batch: int, remat: bool, prefetch: bool, steps: int,
+            compute_dtype=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -37,7 +38,8 @@ def measure(bucket: int, batch: int, remat: bool, prefetch: bool, steps: int):
                              "train.num_train_trees=512"])
     model = CoarseDiffusion(in_node_nf=8, timesteps=1000, hidden_nf=256,
                             n_layers=6, inv_sublayers=2,
-                            noise_schedule="learned", remat=remat)
+                            noise_schedule="learned", remat=remat,
+                            compute_dtype=compute_dtype)
     gen = SyntheticTreeGenerator(seed=0)
     # synthetic trees near the bucket size so padding is realistic
     pool = gen.sample_trees(512, n=max(4, bucket - 4))
@@ -65,7 +67,13 @@ def measure(bucket: int, batch: int, remat: bool, prefetch: bool, steps: int):
         state, m = step_fn(state, next(it), rng)
     float(m["loss"])  # sync
     dt = (time.perf_counter() - t0) / steps
-    return 1.0 / dt
+    # training MFU: fwd + bwd ~ 3x the forward matmul FLOPs of one EGNN
+    # eval (compute_loss runs phi once per step); peak = bf16 MXU
+    import os
+    from bench import _egnn_matmul_flops
+    flops = 3.0 * _egnn_matmul_flops(batch, bucket, 256, 6, 2)
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+    return 1.0 / dt, flops / dt / peak
 
 
 def main():
@@ -73,13 +81,25 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--buckets", type=int, nargs="*", default=[48, 96])
+    p.add_argument("--sweep", choices=["levers", "dtype"], default="levers",
+                   help="levers: remat x prefetch (round-2 sweep); dtype: "
+                        "f32 vs bf16 training step at prefetch-on (VERDICT "
+                        "r2 weak #5 - reduced-precision training + MFU)")
     args = p.parse_args()
-    for bucket, remat, prefetch in itertools.product(
-            args.buckets, [False, True], [False, True]):
-        sps = measure(bucket, args.batch, remat, prefetch, args.steps)
+    if args.sweep == "levers":
+        grid = [(b, remat, prefetch, None) for b, remat, prefetch in
+                itertools.product(args.buckets, [False, True], [False, True])]
+    else:
+        grid = [(b, False, True, dt) for b, dt in
+                itertools.product(args.buckets, [None, "bfloat16"])]
+    for bucket, remat, prefetch, dtype in grid:
+        sps, mfu = measure(bucket, args.batch, remat, prefetch, args.steps,
+                           compute_dtype=dtype)
         print(json.dumps({"bucket": bucket, "batch": args.batch,
                           "remat": remat, "prefetch": prefetch,
-                          "steps_per_sec": round(sps, 3)}), flush=True)
+                          "compute_dtype": dtype or "float32",
+                          "steps_per_sec": round(sps, 3),
+                          "train_mfu": round(mfu, 4)}), flush=True)
 
 
 if __name__ == "__main__":
