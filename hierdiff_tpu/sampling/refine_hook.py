@@ -62,18 +62,27 @@ class RefineHook:
 
     def _score_nodes(self, jobs: List[Tuple[TreeState, np.ndarray, int]]) -> np.ndarray:
         """Each job = (state, wids_override, masked_node). One device call.
-        Returns logits (K, V)."""
+        Returns logits (K, V).
+
+        The job count is padded to the next power of two: the fleet size
+        changes every beam round, and an unpadded batch would trigger a
+        fresh XLA compile per distinct K — measured as the dominant cost of
+        the refine-on pipeline (one multi-second compile per round through
+        the tunnel vs ~ms of actual device work)."""
+        from hierdiff_tpu.sampling.lattice import _next_pow2
+
         nb = bucket_for(max(j[0].n for j in jobs))
         k = len(jobs)
+        kp = _next_pow2(k)
         f = jobs[0][0].feats.shape[1]
-        feats = np.zeros((k, nb, f), np.float32)
-        vocab = np.zeros((k, nb), np.int32)
-        size = np.zeros((k, nb), np.int32)
-        pos = np.zeros((k, nb, 3), np.float32)
-        adj = np.zeros((k, nb, nb), np.float32)
-        nmask = np.zeros((k, nb, 1), np.float32)
-        pad_idx = np.zeros((k,), np.int32)
-        val = np.zeros((k,), np.float32)
+        feats = np.zeros((kp, nb, f), np.float32)
+        vocab = np.zeros((kp, nb), np.int32)
+        size = np.zeros((kp, nb), np.int32)
+        pos = np.zeros((kp, nb, 3), np.float32)
+        adj = np.zeros((kp, nb, nb), np.float32)
+        nmask = np.zeros((kp, nb, 1), np.float32)
+        pad_idx = np.zeros((kp,), np.int32)
+        val = np.zeros((kp,), np.float32)
         for i, (s, wids, node) in enumerate(jobs):
             n = s.n
             feats[i, :n] = s.feats
@@ -91,7 +100,7 @@ class RefineHook:
         logits = self._fn(nb)(self.params, jnp.asarray(feats), jnp.asarray(vocab),
                               jnp.asarray(size), jnp.asarray(pos), jnp.asarray(adj),
                               jnp.asarray(nmask), jnp.asarray(pad_idx), jnp.asarray(val))
-        return np.asarray(logits)
+        return np.asarray(logits)[:k]
 
     def _logps_from_logits(self, wids: np.ndarray, nodes: Sequence[int],
                            logits: np.ndarray):

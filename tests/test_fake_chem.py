@@ -10,6 +10,7 @@ conformer lift, the eval panel, and preprocessing (.npz / GEOM pickles /
 SDF). Reference behaviors matched are cited per test.
 """
 
+import json
 import pickle
 import random
 import sys
@@ -485,3 +486,23 @@ def test_process_geom_and_sdf(chem_world, tmp_path, monkeypatch):
             f.write("$$$$\n")
     PP.main(["--sdf", str(sdf), "--out", str(tmp_path / "trees_sdf")])
     assert len(list((tmp_path / "trees_sdf").iterdir())) == 3
+
+
+def test_eval_cli(chem_world, tmp_path):
+    """The eval-panel CLI end-to-end over a generated-style payload."""
+    from rdkit import Chem
+
+    from hierdiff_tpu.eval.cli import main as eval_main
+
+    mols = [Chem.MolFromSmiles(s) for s in TEST_SMILES]
+    payload = {"molecules": [(m, [{}], m) for m in mols]}
+    gen = tmp_path / "generated.pkl"
+    with open(gen, "wb") as f:
+        pickle.dump(payload, f)
+    out = tmp_path / "metrics.json"
+    eval_main([str(gen), "--ref", str(gen), "--out", str(out)])
+    metrics = json.loads(out.read_text())
+    assert metrics["n_molecules"] == len(TEST_SMILES)
+    assert metrics["filter_pass_rate"] == 1.0
+    assert 0 <= metrics["qed_mean"] <= 1
+    assert "max_fp_similarity_mean" in metrics
