@@ -251,6 +251,8 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
 
 
 def main():
+    from hierdiff_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("batch", nargs="?", type=int, default=64)
     p.add_argument("--stage", choices=["coarse", "fine", "pipeline"], default="coarse")

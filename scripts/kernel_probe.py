@@ -71,6 +71,8 @@ def probe(b: int, n: int, hidden: int, reps: int):
 
 
 def main():
+    from hierdiff_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, nargs="*", default=[48, 96])
     p.add_argument("--batch", type=int, default=64)

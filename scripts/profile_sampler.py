@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main():
+    from hierdiff_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--max-n", type=int, default=24)
     p.add_argument("--batch", type=int, default=64)

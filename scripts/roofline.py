@@ -75,6 +75,8 @@ def parse_trace(trace_dir: str):
 
 
 def main():
+    from hierdiff_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--max-n", type=int, default=12)
     p.add_argument("--batch", type=int, default=64)

@@ -77,6 +77,8 @@ def measure(bucket: int, batch: int, remat: bool, prefetch: bool, steps: int,
 
 
 def main():
+    from hierdiff_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=64)
