@@ -60,6 +60,14 @@ class RefineHook:
                 size_support_indices(size, self.model.vocab_size), np.int64)
         return self._support_cache[size]
 
+    def _support_mask(self, size: int) -> np.ndarray:
+        key = ("mask", size)
+        if key not in self._support_cache:
+            m = np.zeros(self.model.vocab_size, bool)
+            m[self._support(size)] = True
+            self._support_cache[key] = m
+        return self._support_cache[key]
+
     def _score_nodes(self, jobs: List[Tuple[TreeState, np.ndarray, int]]) -> np.ndarray:
         """Each job = (state, wids_override, masked_node). One device call.
         Returns logits (K, V).
@@ -105,18 +113,26 @@ class RefineHook:
     def _logps_from_logits(self, wids: np.ndarray, nodes: Sequence[int],
                            logits: np.ndarray):
         """Size-restricted logp of the current wid + top-1 proposal per node.
-        logits: (len(nodes), V) rows already scored for (wids, node) pairs."""
-        logps = np.zeros(len(nodes))
-        top = np.zeros(len(nodes), np.int64)
-        for i, n in enumerate(nodes):
-            cur = int(wids[n])
-            support = self._support(int(self.vocab_sizes[cur]))
-            if cur not in support:
-                support = np.append(support, cur)
-            ls = logits[i, support]
-            ls = ls - np.log(np.exp(ls - ls.max()).sum()) - ls.max()
-            logps[i] = ls[list(support).index(cur)]
-            top[i] = support[np.argmax(ls)]
+        logits: (len(nodes), V) rows already scored for (wids, node) pairs.
+
+        Vectorized over the whole fleet: the per-job python softmax loop was
+        the refine-on pipeline's dominant HOST cost (thousands of jobs per
+        beam round). Masked log-softmax over (K, V) with support masks
+        cached per heavy-atom size is numerically identical (the current wid
+        is force-included like the reference's append)."""
+        nodes = np.asarray(list(nodes), np.int64)
+        k = len(nodes)
+        if k == 0:
+            return np.zeros(0), np.zeros(0, np.int64)
+        cur = np.asarray(wids)[nodes].astype(np.int64)
+        sizes = self.vocab_sizes[np.clip(cur, 0, len(self.vocab_sizes) - 1)]
+        mask = np.stack([self._support_mask(int(s)) for s in sizes])
+        mask[np.arange(k), cur] = True
+        ls = np.where(mask, logits[:k], -np.inf)
+        mx = ls.max(axis=1, keepdims=True)
+        lp = ls - (mx + np.log(np.exp(ls - mx).sum(axis=1, keepdims=True)))
+        logps = lp[np.arange(k), cur]
+        top = np.argmax(lp, axis=1).astype(np.int64)
         return logps, top
 
     def _node_logps(self, state: TreeState, wids: np.ndarray, nodes: np.ndarray):
