@@ -60,6 +60,18 @@ class SyntheticTreeGenerator:
             rows = [tuple(r) for r in self.fp_table]
             counts_by_row = Counter(rows)
             uniq = [i for i, r in enumerate(rows) if counts_by_row[r] == 1]
+            if not uniq:
+                raise ValueError(
+                    "planted mode needs at least one unique fingerprint row "
+                    f"(mode={mode!r} table has none)")
+            if len(uniq) < planted_k:
+                # e.g. 'elem' has only 15 unique rows of 780; deliver what
+                # exists rather than silently weakening the guarantee
+                import warnings
+                warnings.warn(
+                    f"planted_k={planted_k} requested but only {len(uniq)} "
+                    f"unique fingerprint rows exist in mode={mode!r}; "
+                    f"using {len(uniq)}")
             self.planted_wids = np.array(uniq[:planted_k], np.int64)
 
     def sample_count(self) -> int:

@@ -31,13 +31,17 @@ def _mols_from_payload(payload):
 def evaluate(mols, ref_mols=None) -> dict:
     import hierdiff_tpu.eval.metrics as M
 
+    # clean ONCE for the whole panel (the metric functions re-clean by
+    # default, reference-exact; 8+ sanitize/canonicalize passes at 10k mols)
+    mols = M.clean_mols(mols)
+    ac = dict(assume_clean=True)
     out = {
         "n_molecules": len(mols),
-        "filter_pass_rate": float(M.filter_rate(mols)),
-        "mw_mean": float(np.mean(M.cal_mw(mols))),
-        "logp_mean": float(np.mean(M.cal_logp(mols))),
-        "rot_bonds_mean": float(np.mean(M.cal_num_rotatable_bonds(mols))),
-        "scaffold_entropy": float(M.scaffold_entropy(mols)),
+        "filter_pass_rate": float(M.filter_rate(mols, **ac)),
+        "mw_mean": float(np.mean(M.cal_mw(mols, **ac))),
+        "logp_mean": float(np.mean(M.cal_logp(mols, **ac))),
+        "rot_bonds_mean": float(np.mean(M.cal_num_rotatable_bonds(mols, **ac))),
+        "scaffold_entropy": float(M.scaffold_entropy(mols, **ac)),
         "sas_mean": float(np.mean(M.cal_sas(mols))),
         "qed_mean": float(np.mean(M.cal_qed(mols))),
         "ro5_mean": float(np.mean(M.ro5(mols))),
@@ -47,7 +51,8 @@ def evaluate(mols, ref_mols=None) -> dict:
     out["ring_size_mean"] = float(np.mean(sizes))
     out["ring_count_mean"] = float(np.mean(counts))
     if ref_mols:
-        sim, _ = M.max_sim_fp(mols, ref_mols)
+        ref_mols = M.clean_mols(ref_mols)
+        sim, _ = M.max_sim_fp(mols, ref_mols, **ac)
         out["max_fp_similarity_mean"] = float(np.mean(sim))
     return out
 

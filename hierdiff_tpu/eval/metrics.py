@@ -38,8 +38,14 @@ def set_filter_tables(mcf_csv: Optional[str] = None, pains_csv: Optional[str] = 
     _FILTERS = [Chem.MolFromSmarts(s) for s in smarts]
 
 
-def clean_mols(mols):
-    """Sanitize + dedup by canonical SMILES. (evaluation_method.py:33-38)"""
+def clean_mols(mols, assume_clean: bool = False):
+    """Sanitize + dedup by canonical SMILES. (evaluation_method.py:33-38)
+
+    ``assume_clean=True`` skips the (expensive) round-trip when the caller
+    already cleaned the set — eval/cli.py cleans once for the whole panel
+    instead of once per metric (8+ redundant passes at 10k molecules)."""
+    if assume_clean:
+        return list(mols)
     require_rdkit("molecule cleaning")
     from rdkit import Chem
 
@@ -73,49 +79,49 @@ def mol_passes_filters(mol, allowed=None, isomeric_smiles: bool = False) -> bool
     return True
 
 
-def filter_rate(mols) -> float:
-    mols = clean_mols(mols)
+def filter_rate(mols, assume_clean: bool = False) -> float:
+    mols = clean_mols(mols, assume_clean)
     return float(np.mean([mol_passes_filters(m) for m in mols]))
 
 
-def cal_mw(mols) -> np.ndarray:
+def cal_mw(mols, assume_clean: bool = False) -> np.ndarray:
     require_rdkit("molecular weight")
     from rdkit.Chem import Descriptors
-    return np.array([Descriptors.ExactMolWt(m) for m in clean_mols(mols) if m])
+    return np.array([Descriptors.ExactMolWt(m) for m in clean_mols(mols, assume_clean) if m])
 
 
-def cal_logp(mols) -> np.ndarray:
+def cal_logp(mols, assume_clean: bool = False) -> np.ndarray:
     require_rdkit("logP")
     from rdkit.Chem import Descriptors
-    return np.array([Descriptors.MolLogP(m) for m in clean_mols(mols) if m])
+    return np.array([Descriptors.MolLogP(m) for m in clean_mols(mols, assume_clean) if m])
 
 
-def cal_num_rotatable_bonds(mols) -> np.ndarray:
+def cal_num_rotatable_bonds(mols, assume_clean: bool = False) -> np.ndarray:
     require_rdkit("rotatable bonds")
     from rdkit.Chem import Descriptors
-    return np.array([Descriptors.NumRotatableBonds(m) for m in clean_mols(mols) if m])
+    return np.array([Descriptors.NumRotatableBonds(m) for m in clean_mols(mols, assume_clean) if m])
 
 
-def scaffold_entropy(mols) -> float:
+def scaffold_entropy(mols, assume_clean: bool = False) -> float:
     """Shannon entropy of Murcko scaffolds. (evaluation_method.py:91-97)"""
     require_rdkit("scaffold entropy")
     from rdkit import Chem
     from rdkit.Chem.Scaffolds import MurckoScaffold
 
-    mols = clean_mols(mols)
+    mols = clean_mols(mols, assume_clean)
     scaffolds = [Chem.MolToSmiles(MurckoScaffold.GetScaffoldForMol(m)) for m in mols]
     p = np.array(list(Counter(scaffolds).values())) / len(mols)
     return float(-np.sum(np.log(p) * p))
 
 
-def max_sim_fp(mols, ref_mols):
+def max_sim_fp(mols, ref_mols, assume_clean: bool = False):
     """Max Morgan-fingerprint Tanimoto vs a reference set.
     (evaluation_method.py:100-114)"""
     require_rdkit("fingerprint similarity")
     from rdkit.Chem import AllChem
 
-    mols = clean_mols(mols)
-    ref_mols = clean_mols(ref_mols)
+    mols = clean_mols(mols, assume_clean)
+    ref_mols = clean_mols(ref_mols, assume_clean)
     fp = lambda m: np.array(AllChem.GetMorganFingerprintAsBitVect(m, radius=2, nBits=1024))
     a = np.stack([fp(m) for m in mols])
     b = np.stack([fp(m) for m in ref_mols])

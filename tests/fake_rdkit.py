@@ -1387,6 +1387,14 @@ def uninstall():
             sys.modules[name] = prev
     _SAVED_MODULES = None
     FAIL_EMBED = False
+    # cal_sas imports the contrib sascorer via sys.path.append; drop both so
+    # a real-RDKit process never sees the fake scorer after uninstall
+    sys.modules.pop("sascorer", None)
+    import os
+    contrib = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "fake_rdkit_contrib")
+    sys.path[:] = [p for p in sys.path
+                   if not os.path.abspath(p).startswith(contrib)]
     # re-probe reality: every hierdiff module that saw True goes back to False
     import importlib.util
     real = importlib.util.find_spec("rdkit") is not None

@@ -107,3 +107,41 @@ def test_use_pallas_model_flag():
     h2, x2 = plm.apply(params, h, x, nm, em)
     np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=0.15, rtol=0.15)  # wiring check; bf16 drift compounds over 2 blocks
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=0.15, rtol=0.15)
+
+
+@requires_tpu
+@pytest.mark.parametrize("B,N", [(32, 12), (8, 96)])
+def test_fused_gcl_bf16_matches_xla(B, N):
+    """The bf16 in-kernel path (exp-form sigmoid/silu Mosaic workaround,
+    f32 accumulators with separate downcasts) must lower, run, and track
+    the XLA bf16 pipeline within bf16 noise."""
+    from hierdiff_tpu.ops.egnn import DenseGCL
+    H = 256
+    h, x, radial, cdiff, e, em, nm = make_inputs(B, N, H)
+    gcl_ref = DenseGCL(hidden_nf=H, normalization_factor=10.0, attention=True,
+                       compute_dtype="bfloat16")
+    gcl_pl = DenseGCL(hidden_nf=H, normalization_factor=10.0, attention=True,
+                      use_pallas=True, compute_dtype="bfloat16")
+    params = gcl_ref.init(jax.random.PRNGKey(2), h, e, nm, em)
+    ref = np.asarray(gcl_ref.apply(params, h, e, nm, em))
+    out = np.asarray(gcl_pl.apply(params, h, e, nm, em))
+    err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 3e-2, err
+
+
+@requires_tpu
+def test_fused_coord_bf16_matches_xla():
+    from hierdiff_tpu.ops.egnn import DenseEquivariantUpdate
+    B, N, H = 32, 12, 256
+    h, x, radial, cdiff, e, em, nm = make_inputs(B, N, H)
+    equ_ref = DenseEquivariantUpdate(hidden_nf=H, normalization_factor=10.0,
+                                     tanh=True, coords_range=5.0,
+                                     compute_dtype="bfloat16")
+    equ_pl = DenseEquivariantUpdate(hidden_nf=H, normalization_factor=10.0,
+                                    tanh=True, coords_range=5.0,
+                                    use_pallas=True, compute_dtype="bfloat16")
+    params = equ_ref.init(jax.random.PRNGKey(3), h, x, cdiff, e, nm, em)
+    ref = np.asarray(equ_ref.apply(params, h, x, cdiff, e, nm, em))
+    out = np.asarray(equ_pl.apply(params, h, x, cdiff, e, nm, em))
+    err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 3e-2, err
