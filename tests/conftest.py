@@ -26,4 +26,10 @@ else:
     # HIERDIFF_TEST_PLATFORM=native: keep the environment's real backend —
     # used by the subprocess runner in test_pallas.py so the TPU kernel
     # tests are exercised by CI instead of skipping under the CPU pin.
+    # The persistent compilation cache makes repeat kernel-suite runs
+    # skip the multi-minute tunnel compiles.
     import jax  # noqa: F401
+
+    from hierdiff_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()

@@ -37,7 +37,7 @@ def test_pallas_kernels_on_real_tpu_via_subprocess():
     r = subprocess.run(
         [sys.executable, "-m", "pytest", str(Path(__file__)), "-q",
          "--deselect", f"{Path(__file__)}::test_pallas_kernels_on_real_tpu_via_subprocess"],
-        env=env, capture_output=True, text=True, timeout=900, cwd=repo)
+        env=env, capture_output=True, text=True, timeout=2400, cwd=repo)
     assert r.returncode == 0, f"TPU pallas tests failed:\n{r.stdout}\n{r.stderr}"
     assert "4 passed" in r.stdout, f"expected all 4 kernel tests to RUN:\n{r.stdout}"
 
