@@ -79,11 +79,27 @@ class TreeReconstructor:
     'max9' on embedding failure, or None when no assembly is valid.
     """
 
-    def __init__(self, vocab, embed_seed: int = -1, max_nodes: int = 100):
+    def __init__(self, vocab, embed_seed: int = -1, max_nodes: int = 100,
+                 memoize: bool = False, memo_cap: int = 200_000):
+        """memoize=True caches (a) ``enum_assemble`` candidate lists and (b)
+        embedded fragment-center geometries across reconstructions, keyed by
+        the atom-mapped candidate SMILES + the involved (nid, smiles) pairs.
+        The geometry cache changes behavior only through ETKDG's embedding
+        randomness (one embedding reused where the reference would redraw) —
+        a distribution-level shortcut, so it is OPT-IN and defaults to the
+        reference-exact path (cf. the project's inference-shortcut rule).
+        Deterministic backends (fixed seed / the CI fake-RDKit stub) are
+        bit-identical with the memo on (tests/test_fake_chem.py)."""
         require_rdkit("tree reconstruction")
         self.vocab = vocab
         self.embed_seed = embed_seed
         self.max_nodes = max_nodes
+        self.memoize = memoize
+        self.memo_cap = memo_cap
+        self._enum_cache: dict = {}
+        self._geom_cache: dict = {}
+        self.memo_stats = {"enum_hits": 0, "enum_misses": 0,
+                           "geom_hits": 0, "geom_misses": 0}
 
     def reconstruct(self, tree):
         """(reference: jtnn_vae.py:200-245 sample_tree/decode)"""
@@ -116,28 +132,48 @@ class TreeReconstructor:
         smi_mol = Chem.MolFromSmiles(Chem.MolToSmiles(cur_mol))
         return cur_mol.GetMol(), amap, smi_mol
 
-    def _embed_score(self, cand_mol, cur_node, neighbors) -> Optional[float]:
-        """-kabsch_rmsd(candidate fragment centers, generated centers), or
-        None if embedding/matching fails. (jtnn_vae.py:308-327)"""
+    def _fragment_centers(self, cand_mol, involved) -> Optional[dict]:
+        """Embed the candidate (ETKDG + MMFF) and extract the per-nid
+        fragment centers — the geometry-only, generated-position-independent
+        half of the score. (jtnn_vae.py:308-322)"""
         from rdkit import Chem
         from rdkit.Chem import AllChem
 
+        if self.memoize:
+            key = (Chem.MolToSmiles(cand_mol),
+                   tuple((n.nid, n.smiles) for n in involved))
+            if key in self._geom_cache:
+                self.memo_stats["geom_hits"] += 1
+                return self._geom_cache[key]
+            self.memo_stats["geom_misses"] += 1
+
+        node_pos: Optional[dict] = None
         cand3d = Chem.AddHs(cand_mol)
         try:
             AllChem.EmbedMolecule(cand3d, AllChem.ETKDG())
             AllChem.MMFFOptimizeMolecule(cand3d)
         except Exception:
-            return None
-        if cand3d.GetNumConformers() == 0:
-            return None
-        cand3d = Chem.RemoveHs(cand3d)
+            cand3d = None
+        if cand3d is not None and cand3d.GetNumConformers() > 0:
+            cand3d = Chem.RemoveHs(cand3d)
+            node_pos = {}
+            for node in involved:
+                p = get_pos_from_cand(cand3d, node.mol, node.nid)
+                if p is None:
+                    node_pos = None
+                    break
+                node_pos[node.nid] = p
+        if self.memoize and len(self._geom_cache) < self.memo_cap:
+            self._geom_cache[key] = node_pos
+        return node_pos
+
+    def _embed_score(self, cand_mol, cur_node, neighbors) -> Optional[float]:
+        """-kabsch_rmsd(candidate fragment centers, generated centers), or
+        None if embedding/matching fails. (jtnn_vae.py:308-327)"""
         involved = [cur_node] + list(neighbors)
-        node_pos = {}
-        for node in involved:
-            p = get_pos_from_cand(cand3d, node.mol, node.nid)
-            if p is None:
-                return None
-            node_pos[node.nid] = p
+        node_pos = self._fragment_centers(cand_mol, involved)
+        if node_pos is None:
+            return None
         truth = {n.idx: np.asarray(n.pos).reshape(3) for n in involved}
         cand_xyz = np.stack([p for _, p in sorted(node_pos.items())])
         true_xyz = np.stack([p for _, p in sorted(truth.items())])
@@ -158,7 +194,21 @@ class TreeReconstructor:
         neighbors = [n for n in children if n.mol.GetNumAtoms() == 1] + neighbors
 
         cur_amap = [(fa_nid, a2, a1) for nid, a1, a2 in fa_amap if nid == cur_node.nid]
-        cands = enum_assemble(cur_node, neighbors, prev_nodes, cur_amap)
+        if self.memoize:
+            ekey = ((cur_node.nid, cur_node.smiles),
+                    tuple((n.nid, n.smiles) for n in neighbors),
+                    tuple((p.nid, p.smiles) for p in prev_nodes),
+                    tuple(cur_amap))
+            cands = self._enum_cache.get(ekey)
+            if cands is None:
+                self.memo_stats["enum_misses"] += 1
+                cands = enum_assemble(cur_node, neighbors, prev_nodes, cur_amap)
+                if len(self._enum_cache) < self.memo_cap:
+                    self._enum_cache[ekey] = cands
+            else:
+                self.memo_stats["enum_hits"] += 1
+        else:
+            cands = enum_assemble(cur_node, neighbors, prev_nodes, cur_amap)
         if len(cands) == 0:
             # dead branch tolerated like the reference (jtnn_vae.py:296-297)
             return cur_mol, global_amap
@@ -211,9 +261,9 @@ class TreeReconstructor:
 _WORKER_REC = None
 
 
-def _pool_init(vocab):
+def _pool_init(vocab, memoize: bool = False):
     global _WORKER_REC
-    _WORKER_REC = TreeReconstructor(vocab)
+    _WORKER_REC = TreeReconstructor(vocab, memoize=memoize)
 
 
 def _pool_one(tree):
@@ -223,29 +273,11 @@ def _pool_one(tree):
         return None
 
 
-def reconstruct_batch(trees, vocab, n_workers: int = 0):
-    """Reconstruct many trees, optionally with a process pool (the RDKit
-    assembly is GIL-bound C++, cf. the reference's pathos pool,
-    ar_sampling_nosize.py:13,273); returns (results, stats) where results
-    are (mol, amap, smiles) tuples and stats mirrors the reference's printed
-    validity/uniqueness/avg-atoms (generation/reconstruct.py:101-104)."""
-    require_rdkit("tree reconstruction")
+def summarize_outputs(outputs):
+    """Fold raw per-tree reconstruct outputs (mol tuples / 'max9' / None)
+    into (results, stats) — the reference's printed validity/uniqueness/
+    avg-atoms (generation/reconstruct.py:101-104)."""
     from rdkit import Chem
-
-    if n_workers > 1:
-        import multiprocessing as mp
-        with mp.Pool(n_workers, initializer=_pool_init, initargs=(vocab,)) as pool:
-            outputs = pool.map(_pool_one, trees)
-    else:
-        rec = TreeReconstructor(vocab)
-
-        def one(tree):
-            try:
-                return rec.reconstruct(tree)
-            except Exception:
-                return None
-
-        outputs = [one(t) for t in trees]
 
     results, smiles = [], []
     attempted = 0
@@ -264,3 +296,32 @@ def reconstruct_batch(trees, vocab, n_workers: int = 0):
         "avg_atoms": (sum(m.GetNumAtoms() for m, _, _ in results) / max(len(results), 1)),
     }
     return results, stats
+
+
+def reconstruct_batch(trees, vocab, n_workers: int = 0, memoize: bool = False):
+    """Reconstruct many trees, optionally with a process pool (the RDKit
+    assembly is GIL-bound C++, cf. the reference's pathos pool,
+    ar_sampling_nosize.py:13,273); returns (results, stats) where results
+    are (mol, amap, smiles) tuples and stats mirrors the reference's printed
+    validity/uniqueness/avg-atoms (generation/reconstruct.py:101-104).
+    ``memoize`` enables the opt-in candidate/geometry caches (see
+    TreeReconstructor; per-worker caches under the pool)."""
+    require_rdkit("tree reconstruction")
+
+    if n_workers > 1:
+        import multiprocessing as mp
+        with mp.Pool(n_workers, initializer=_pool_init,
+                     initargs=(vocab, memoize)) as pool:
+            outputs = pool.map(_pool_one, trees)
+    else:
+        rec = TreeReconstructor(vocab, memoize=memoize)
+
+        def one(tree):
+            try:
+                return rec.reconstruct(tree)
+            except Exception:
+                return None
+
+        outputs = [one(t) for t in trees]
+
+    return summarize_outputs(outputs)

@@ -7,9 +7,16 @@ lowest-probability mispredicted node to the model's top choice raises the
 tree's total log-probability (and passes the optional assembly gate), commit
 the swap and skip the tree's expansion this round.
 
-Device work is one batched ``NodeRefine.check_logits`` call per fleet —
-every (tree, masked-node) pair across all candidates rides a single jitted
-call with bucketed shapes, vs the reference's per-tree per-node loops.
+Device work is one batched call per fleet round: the host packs ONE set of
+per-STATE arrays (feats/pos/adj, plus the current wid row), and the device
+program expands every state to all of its masked-node variants, runs
+``NodeRefine.check_logits`` over the whole (state x node) grid, applies the
+size-restricted log-softmax on device, and returns only the per-node
+current-wid log-probability and top-1 proposal — (S, N) scalars instead of
+the (jobs, 780) logits matrix. vs the reference's per-tree per-node loops
+this removes both the per-job host packing (S vs S*N python iterations) and
+~780x of the device->host transfer per round, the two measured hot spots of
+the refine-on pipeline after round 3's pow2 padding fix.
 """
 
 from __future__ import annotations
@@ -41,6 +48,8 @@ class RefineHook:
         self.can_assemble = can_assemble
         self._fn_cache: Dict[int, Callable] = {}
         self._support_cache: Dict[int, np.ndarray] = {}
+        self._states_fn_cache: Dict[tuple, Callable] = {}
+        self._size_table_cache: Optional[np.ndarray] = None
 
     def _fn(self, n: int):
         if n not in self._fn_cache:
@@ -67,6 +76,103 @@ class RefineHook:
             m[self._support(size)] = True
             self._support_cache[key] = m
         return self._support_cache[key]
+
+    # --- per-state device scoring (all masked-node variants in one call) ----
+
+    def _size_table(self) -> np.ndarray:
+        """(max_size+1, V) restricted-support rows indexed by heavy-atom
+        count — the device-side form of ``_support_mask`` (same
+        ``size_support_indices`` fallback semantics)."""
+        if self._size_table_cache is None:
+            rows = [self._support_mask(s).astype(np.float32)
+                    for s in range(int(self.vocab_sizes.max()) + 1)]
+            self._size_table_cache = np.stack(rows)
+        return self._size_table_cache
+
+    def _states_fn(self, nb: int, sp: int):
+        """Jitted fleet scorer at (bucket nb, padded fleet sp): expands each
+        state to its nb masked-node variants ON DEVICE, scores them with
+        ``check_logits``, applies the size-restricted log-softmax (support =
+        size-table row of the current wid's size, current wid force-included
+        like the reference's append), and returns per-node
+        (logp of current wid, top-1 proposal) — (S, N) each."""
+        key = (nb, sp)
+        if key not in self._states_fn_cache:
+            model = self.model
+
+            @jax.jit
+            def run(params, feats, wids, size, pos, adj, nmask, table):
+                s, n, f = feats.shape
+                v = model.vocab_size
+                eye = jnp.eye(n, dtype=feats.dtype)
+                # variant i of state s masks node i: zero its features, set
+                # its vocab id to MASK_TOKEN (what _score_nodes does per job)
+                feats_e = feats[:, None, :, :] * (1.0 - eye)[None, :, :, None]
+                vocab_e = jnp.where(eye[None, :, :] > 0, MASK_TOKEN,
+                                    wids[:, None, :].astype(jnp.int32))
+                size_e = jnp.broadcast_to(size[:, None, :], (s, n, n))
+                pos_e = jnp.broadcast_to(pos[:, None], (s, n, n, 3))
+                adj_e = jnp.broadcast_to(adj[:, None], (s, n, n, n))
+                nmask_e = jnp.broadcast_to(nmask[:, None], (s, n, n, 1))
+                pad_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None],
+                                           (s, n))
+                val = jnp.sum(adj, axis=2)                   # (S, N) degrees
+                rs = lambda a: a.reshape((s * n,) + a.shape[2:])
+                logits = model.apply(params, rs(feats_e), rs(vocab_e),
+                                     rs(size_e), rs(pos_e), rs(adj_e),
+                                     rs(nmask_e), pad_idx.reshape(-1),
+                                     val.reshape(-1),
+                                     method=NodeRefine.check_logits)
+                logits = logits.reshape(s, n, v)
+                # restricted log-softmax; `size` is vocab_sizes[clip(wids)]
+                # host-side, so table[size] == _support_mask(size_of_cur)
+                soh = jax.nn.one_hot(jnp.clip(size, 0, table.shape[0] - 1),
+                                     table.shape[0], dtype=logits.dtype)
+                support = jnp.einsum("snr,rv->snv", soh, table)
+                coh = jax.nn.one_hot(jnp.clip(wids, 0, v - 1), v,
+                                     dtype=logits.dtype)
+                support = jnp.maximum(support, coh)
+                from hierdiff_tpu.ops.masked import masked_log_softmax
+                lp = masked_log_softmax(logits, support)
+                logp_cur = jnp.sum(lp * coh, axis=-1)
+                top = jnp.argmax(lp, axis=-1)
+                return logp_cur, top
+
+            self._states_fn_cache[key] = run
+        return self._states_fn_cache[key]
+
+    def _pack_states(self, states: Sequence[TreeState], nb: int, sp: int):
+        """Per-STATE base arrays (reused unchanged across swap rounds)."""
+        f = states[0].feats.shape[1]
+        feats = np.zeros((sp, nb, f), np.float32)
+        pos = np.zeros((sp, nb, 3), np.float32)
+        adj = np.zeros((sp, nb, nb), np.float32)
+        nmask = np.zeros((sp, nb, 1), np.float32)
+        for i, s in enumerate(states):
+            n = s.n
+            feats[i, :n] = s.feats
+            pos[i, :n] = s.pos
+            a = s.adj.copy()
+            np.fill_diagonal(a, 0)
+            adj[i, :n, :n] = a
+            nmask[i, :n] = 1.0
+        return (jnp.asarray(feats), jnp.asarray(pos), jnp.asarray(adj),
+                jnp.asarray(nmask))
+
+    def _score_states(self, base, wids_rows: Sequence[np.ndarray],
+                      nb: int, sp: int):
+        """Score every node of every state in one device call.
+        Returns (logp_cur (S, nb), top (S, nb)) numpy arrays."""
+        feats, pos, adj, nmask = base
+        wids = np.zeros((sp, nb), np.int64)
+        for i, w in enumerate(wids_rows):
+            wids[i, :len(w)] = w
+        size = self.vocab_sizes[np.clip(wids, 0, len(self.vocab_sizes) - 1)]
+        logp, top = self._states_fn(nb, sp)(
+            self.params, feats, jnp.asarray(wids), jnp.asarray(size, np.int32),
+            pos, adj, nmask, jnp.asarray(self._size_table()))
+        k = len(wids_rows)
+        return np.asarray(logp)[:k], np.asarray(top)[:k]
 
     def _score_nodes(self, jobs: List[Tuple[TreeState, np.ndarray, int]]) -> np.ndarray:
         """Each job = (state, wids_override, masked_node). One device call.
@@ -146,70 +252,79 @@ class RefineHook:
     def check_batch(self, states: List[TreeState]) -> List[Tuple[TreeState, float, bool]]:
         """Batched check_tree across a fleet of beam candidates.
 
-        Device traffic: ONE ``check_logits`` call scores every (state,
-        assigned-node) pair, then one call per swap-attempt round evaluates
-        the pending candidate swap of every still-active state — instead of
-        the reference's per-tree per-node loops (model_refine.py:175-249)
-        and round 1's one call per attempted swap.
+        Device traffic: ONE per-state fleet call (``_score_states``) scores
+        every (state, node) pair AND applies the restricted softmax on
+        device, then one fleet call per swap-attempt round re-scores the
+        still-active states under their pending swap — instead of the
+        reference's per-tree per-node loops (model_refine.py:175-249),
+        round 1's one call per attempted swap, and round 3's per-job host
+        packing + (jobs, 780) logits readback.
         """
+        from hierdiff_tpu.sampling.lattice import _next_pow2
+
         results: List[Tuple[TreeState, float, bool]] = [(s, 0.0, False) for s in states]
-        # pass 1: score all assigned nodes of all actionable states
-        meta = []          # (state_idx, assigned array)
-        jobs = []
-        for si, s in enumerate(states):
-            assigned = np.nonzero(s.wids >= 0)[0]
-            if len(assigned) * self.check_frac <= 1:
-                continue
-            meta.append((si, assigned, len(jobs)))
-            jobs.extend((s, s.wids, int(n)) for n in assigned)
-        if not jobs:
+        act = [si for si, s in enumerate(states)
+               if np.sum(s.wids >= 0) * self.check_frac > 1]
+        if not act:
             return results
-        logits = self._score_nodes(jobs)
+        nb = bucket_for(max(states[si].n for si in act))
+        # bound device grid (S*nb variants per call); chunks share jit keys
+        max_states = max(1, 8192 // nb)
+        for c0 in range(0, len(act), max_states):
+            chunk = act[c0: c0 + max_states]
+            sp = _next_pow2(len(chunk))
+            base = self._pack_states([states[si] for si in chunk], nb, sp)
+            logp_m, top_m = self._score_states(
+                base, [states[si].wids for si in chunk], nb, sp)
 
-        # per state: candidate swap list (lowest-logp first, front half only)
-        pending = []       # (si, assigned, wids, total, [(pos_in_assigned, new_wid)])
-        for si, assigned, off in meta:
-            s = states[si]
-            wids = s.wids.copy()
-            logps, top = self._logps_from_logits(
-                wids, assigned, logits[off: off + len(assigned)])
-            total = logps.sum()
-            order = np.argsort(logps)
-            n_check = int(len(assigned) * self.check_frac)
-            cand = [(int(i), int(top[i])) for i in order[:n_check]
-                    if i < len(assigned) * 0.5 and top[i] != wids[assigned[i]]]
-            if cand:
-                pending.append([si, assigned, wids, total, cand])
+            # per state: candidate swap list (lowest-logp first, front half)
+            pending = []   # [row, si, assigned, wids, total, [(pos, new_wid)]]
+            for row, si in enumerate(chunk):
+                s = states[si]
+                assigned = np.nonzero(s.wids >= 0)[0]
+                wids = s.wids.copy()
+                logps = logp_m[row][assigned]
+                top = top_m[row][assigned]
+                total = logps.sum()
+                order = np.argsort(logps)
+                n_check = int(len(assigned) * self.check_frac)
+                cand = [(int(i), int(top[i])) for i in order[:n_check]
+                        if i < len(assigned) * 0.5 and top[i] != wids[assigned[i]]]
+                if cand:
+                    pending.append([row, si, assigned, wids, total, cand])
 
-        # swap-attempt rounds: evaluate the first pending candidate of every
-        # active state in one batched call
-        while pending:
-            jobs = []
-            spans = []
-            for si, assigned, wids, total, cand in pending:
-                pos, new_wid = cand[0]
-                new_wids = wids.copy()
-                new_wids[int(assigned[pos])] = new_wid
-                spans.append((len(jobs), new_wids))
-                jobs.extend((states[si], new_wids, int(n)) for n in assigned)
-            logits = self._score_nodes(jobs)
-            nxt = []
-            for (si, assigned, wids, total, cand), (off, new_wids) in zip(pending, spans):
-                pos, new_wid = cand.pop(0)
-                node = int(assigned[pos])
-                new_logps, _ = self._logps_from_logits(
-                    new_wids, assigned, logits[off: off + len(assigned)])
-                ok = new_logps.sum() > total
-                if ok:
-                    perturbed = states[si].clone()
-                    perturbed.wids = new_wids
-                    if self.can_assemble is not None and not self.can_assemble(perturbed, node):
-                        ok = False
-                    else:
-                        results[si] = (perturbed, float(total - new_logps.sum()), True)
-                if not ok and cand:
-                    nxt.append([si, assigned, wids, total, cand])
-            pending = nxt
+            # swap-attempt rounds: evaluate the first pending candidate of
+            # every active state in one fleet call (base arrays reused; only
+            # the wid rows change). Rows are scattered into the SAME padded
+            # fleet so the jit key is stable across rounds.
+            while pending:
+                wids_rows: List[np.ndarray] = [states[si].wids for si in chunk]
+                swaps = []
+                for ent in pending:
+                    row, si, assigned, wids, total, cand = ent
+                    pos, new_wid = cand[0]
+                    new_wids = wids.copy()
+                    new_wids[int(assigned[pos])] = new_wid
+                    wids_rows[row] = new_wids
+                    swaps.append(new_wids)
+                logp_m, _ = self._score_states(base, wids_rows, nb, sp)
+                nxt = []
+                for ent, new_wids in zip(pending, swaps):
+                    row, si, assigned, wids, total, cand = ent
+                    pos, new_wid = cand.pop(0)
+                    node = int(assigned[pos])
+                    new_total = logp_m[row][assigned].sum()
+                    ok = new_total > total
+                    if ok:
+                        perturbed = states[si].clone()
+                        perturbed.wids = new_wids
+                        if self.can_assemble is not None and not self.can_assemble(perturbed, node):
+                            ok = False
+                        else:
+                            results[si] = (perturbed, float(total - new_total), True)
+                    if not ok and cand:
+                        nxt.append([row, si, assigned, wids, total, cand])
+                pending = nxt
         return results
 
     def finalize(self, state: TreeState, check_num: int = 10) -> Optional[TreeState]:

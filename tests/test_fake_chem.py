@@ -279,6 +279,48 @@ def test_reconstruct_batch_max9_excluded_from_attempted(chem_world, fake):
     assert stats["valid"] == 0.0
 
 
+def test_reconstruct_memoize_identical_and_hits(chem_world):
+    """Opt-in memoization (ROADMAP #6): under a deterministic embedding
+    backend the memoized reconstructor is bit-identical to the reference-
+    exact path, and the enum/geometry caches actually hit on repeated
+    fragments (within-tree backtracking + across trees)."""
+    from rdkit import Chem
+
+    from hierdiff_tpu.chem.reconstruct import TreeReconstructor
+
+    plain = TreeReconstructor(chem_world["vocab"])
+    memo = TreeReconstructor(chem_world["vocab"], memoize=True)
+    for tree in chem_world["trees"]:
+        o1, o2 = plain.reconstruct(tree), memo.reconstruct(tree)
+        if isinstance(o1, tuple):
+            assert isinstance(o2, tuple)
+            assert Chem.MolToSmiles(o1[2]) == Chem.MolToSmiles(o2[2])
+        else:
+            assert o1 == o2
+    # run the set again: every enum/geometry query must now hit the caches
+    m0 = dict(memo.memo_stats)
+    for tree in chem_world["trees"]:
+        memo.reconstruct(tree)
+    assert memo.memo_stats["enum_misses"] == m0["enum_misses"]
+    assert memo.memo_stats["geom_misses"] == m0["geom_misses"]
+    assert memo.memo_stats["enum_hits"] > m0["enum_hits"]
+    assert memo.memo_stats["geom_hits"] > m0["geom_hits"]
+
+
+def test_reconstruct_batch_memoize_matches(chem_world):
+    from rdkit import Chem
+
+    from hierdiff_tpu.chem.reconstruct import reconstruct_batch
+
+    trees = chem_world["trees"]
+    res_a, stats_a = reconstruct_batch(trees, chem_world["vocab"], n_workers=0)
+    res_b, stats_b = reconstruct_batch(trees, chem_world["vocab"], n_workers=0,
+                                       memoize=True)
+    assert stats_a == stats_b
+    for (_, _, s1), (_, _, s2) in zip(res_a, res_b):
+        assert Chem.MolToSmiles(s1) == Chem.MolToSmiles(s2)
+
+
 def test_get_similar_and_search_mcs(chem_world):
     from hierdiff_tpu.chem.reconstruct import get_similar, search_mcs
     from rdkit import Chem
@@ -365,6 +407,14 @@ def test_pipeline_reconstruct_branch(chem_world, fake):
     assert len(result.molecules) <= len(assembled)
     if gate.cache_info is not None:
         assert gate.cache_info().currsize > 0  # the gate actually fired
+
+    # streamed variant: same stages, stage-3 overlapped via a process pool
+    # (map_async per macro-chunk); stats carry the same panel
+    streamed = pipe.run_streamed(jax.random.PRNGKey(7), 3, chunk_size=2,
+                                 n_workers=2, memoize=True)
+    assert len(streamed.trees) == 3
+    assert streamed.molecules is not None
+    assert "valid" in streamed.stats and "t_device" in streamed.stats
 
 
 # --- MFF-RMSD lift (eval/MFF_RMSD.py:62-187) ------------------------------

@@ -278,6 +278,53 @@ def test_vocab_conditioning_mode(gen):
     assert np.isfinite(l0) and np.isfinite(l1) and abs(l0 - l1) > 1e-6
 
 
+def test_refine_fleet_scoring_parity(gen):
+    """The per-state device scorer (_score_states: on-device masked-node
+    expansion + restricted softmax) matches the per-job host path
+    (_score_nodes + _logps_from_logits) node-for-node — same logps (to f32
+    softmax noise) and same top-1 proposals."""
+    from hierdiff_tpu.data.refine import make_refine_batch
+    from hierdiff_tpu.sampling.refine_hook import RefineHook
+    from hierdiff_tpu.sampling.ar import TreeState
+    from hierdiff_tpu.models.refine import NodeRefine
+    from hierdiff_tpu.data.assets import load_vocab_fps, load_vocab_smiles
+    from hierdiff_tpu.data.collate import bucket_for
+    from hierdiff_tpu.sampling.lattice import _next_pow2
+
+    model = NodeRefine(hidden_size=32, n_layers=1)
+    trees = gen.sample_trees(3, n=6) + gen.sample_trees(1, n=4)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_refine_batch(trees[:2], random.Random(0), max_n=8).items()}
+    params = model.init(jax.random.PRNGKey(0), batch)
+    vocab_sizes = np.array([int(round(load_vocab_fps()[s][3]))
+                            for s in load_vocab_smiles()])
+    hook = RefineHook(model, params, vocab_sizes)
+
+    states = []
+    rng = np.random.default_rng(7)
+    for t in trees:
+        adj = t.adj.astype(np.float32).copy()
+        wids = t.wids.astype(np.int64).copy()
+        # partially-assigned fleet member: some nodes still blur (-1)
+        if len(states) == 1:
+            wids[-2:] = -1
+        states.append(TreeState(t.feats.astype(np.float32),
+                                t.pos.astype(np.float32), adj, wids))
+
+    nb = bucket_for(max(s.n for s in states))
+    sp = _next_pow2(len(states))
+    base = hook._pack_states(states, nb, sp)
+    logp_m, top_m = hook._score_states(base, [s.wids for s in states], nb, sp)
+
+    for row, s in enumerate(states):
+        assigned = np.nonzero(s.wids >= 0)[0]
+        want_lp, want_top = hook._node_logps(s, s.wids, assigned)
+        got_lp = logp_m[row][assigned]
+        got_top = top_m[row][assigned]
+        np.testing.assert_allclose(got_lp, want_lp, rtol=2e-4, atol=2e-4)
+        assert np.array_equal(got_top, want_top)
+
+
 def test_refine_hook_and_finalize(gen):
     """RefineHook: batched check_state + finalize repair semantics."""
     from hierdiff_tpu.data.refine import make_refine_batch
