@@ -254,11 +254,14 @@ class RefineHook:
 
         Device traffic: ONE per-state fleet call (``_score_states``) scores
         every (state, node) pair AND applies the restricted softmax on
-        device, then one fleet call per swap-attempt round re-scores the
-        still-active states under their pending swap — instead of the
-        reference's per-tree per-node loops (model_refine.py:175-249),
-        round 1's one call per attempted swap, and round 3's per-job host
-        packing + (jobs, 780) logits readback.
+        device, then ONE more batched call re-scores every (state, swap
+        candidate) pair — every candidate is evaluated against the state's
+        ORIGINAL wids, so the swap attempts are independent and need no
+        sequential rounds. The host then walks each state's candidates in
+        order and commits the first that raises the total (and passes the
+        assembly gate) — identical accept semantics to the reference's
+        sequential loop (model_refine.py:175-249) with exactly two device
+        dispatches per fleet round.
         """
         from hierdiff_tpu.sampling.lattice import _next_pow2
 
@@ -278,7 +281,7 @@ class RefineHook:
                 base, [states[si].wids for si in chunk], nb, sp)
 
             # per state: candidate swap list (lowest-logp first, front half)
-            pending = []   # [row, si, assigned, wids, total, [(pos, new_wid)]]
+            pending = []   # [si, assigned, wids, total, [(pos, new_wid)]]
             for row, si in enumerate(chunk):
                 s = states[si]
                 assigned = np.nonzero(s.wids >= 0)[0]
@@ -291,40 +294,51 @@ class RefineHook:
                 cand = [(int(i), int(top[i])) for i in order[:n_check]
                         if i < len(assigned) * 0.5 and top[i] != wids[assigned[i]]]
                 if cand:
-                    pending.append([row, si, assigned, wids, total, cand])
+                    pending.append([si, assigned, wids, total, cand])
 
-            # swap-attempt rounds: evaluate the first pending candidate of
-            # every active state in one fleet call (base arrays reused; only
-            # the wid rows change). Rows are scattered into the SAME padded
-            # fleet so the jit key is stable across rounds.
-            while pending:
-                wids_rows: List[np.ndarray] = [states[si].wids for si in chunk]
-                swaps = []
-                for ent in pending:
-                    row, si, assigned, wids, total, cand = ent
-                    pos, new_wid = cand[0]
+            # score every (state, candidate) pair in one batched pass: each
+            # candidate applies its swap to the ORIGINAL wids, so attempts
+            # are independent — no sequential rounds needed. Jobs are packed
+            # into pow2-padded fleets sharing the (nb, sp) jit keys.
+            jobs = []          # (ent_idx, node, new_wids)
+            for ei, ent in enumerate(pending):
+                si, assigned, wids, total, cand = ent
+                for pos, new_wid in cand:
                     new_wids = wids.copy()
                     new_wids[int(assigned[pos])] = new_wid
-                    wids_rows[row] = new_wids
-                    swaps.append(new_wids)
-                logp_m, _ = self._score_states(base, wids_rows, nb, sp)
-                nxt = []
-                for ent, new_wids in zip(pending, swaps):
-                    row, si, assigned, wids, total, cand = ent
-                    pos, new_wid = cand.pop(0)
-                    node = int(assigned[pos])
-                    new_total = logp_m[row][assigned].sum()
-                    ok = new_total > total
-                    if ok:
-                        perturbed = states[si].clone()
-                        perturbed.wids = new_wids
-                        if self.can_assemble is not None and not self.can_assemble(perturbed, node):
-                            ok = False
-                        else:
-                            results[si] = (perturbed, float(total - new_total), True)
-                    if not ok and cand:
-                        nxt.append([row, si, assigned, wids, total, cand])
-                pending = nxt
+                    jobs.append((ei, int(assigned[pos]), new_wids))
+            new_totals = np.zeros(len(jobs))
+            for j0 in range(0, len(jobs), max_states):
+                jc = jobs[j0: j0 + max_states]
+                jsp = _next_pow2(len(jc))
+                jbase = self._pack_states(
+                    [states[pending[ei][0]] for ei, _, _ in jc], nb, jsp)
+                jlogp, _ = self._score_states(
+                    jbase, [w for _, _, w in jc], nb, jsp)
+                for k, (ei, _, _) in enumerate(jc):
+                    new_totals[j0 + k] = jlogp[k][pending[ei][1]].sum()
+
+            # walk each state's candidates in order; commit the first that
+            # raises the total and passes the gate (same accept semantics
+            # as the sequential rounds).
+            starts = {}
+            for ji, (ei, _, _) in enumerate(jobs):
+                starts.setdefault(ei, ji)
+            for ei, ent in enumerate(pending):
+                si, assigned, wids, total, cand = ent
+                jstart = starts[ei]
+                for ci, (pos, new_wid) in enumerate(cand):
+                    node, new_wids = jobs[jstart + ci][1], jobs[jstart + ci][2]
+                    new_total = new_totals[jstart + ci]
+                    if new_total <= total:
+                        continue
+                    perturbed = states[si].clone()
+                    perturbed.wids = new_wids
+                    if (self.can_assemble is not None
+                            and not self.can_assemble(perturbed, node)):
+                        continue
+                    results[si] = (perturbed, float(total - new_total), True)
+                    break
         return results
 
     def finalize(self, state: TreeState, check_num: int = 10) -> Optional[TreeState]:

@@ -110,10 +110,14 @@ def build(args):
 
     def make_pipe(kind):
         cls = OldRefineHook if kind == "old" else RefineHook
-        hook = cls(rmodel, rparams, sizes)
+        gate = None
+        if args.gate_reject > 0:
+            from bench import _synthetic_gate
+            gate = _synthetic_gate(args.gate_reject)
+        hook = cls(rmodel, rparams, sizes, can_assemble=gate)
         return GenerationPipeline(coarse, cparams, denoise, dparams,
                                   histogram=load_geom_histogram(), beam_size=5,
-                                  refine_hook=hook)
+                                  refine_hook=hook, can_assemble=gate)
 
     return make_pipe
 
@@ -122,6 +126,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--num", type=int, default=256)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--gate-reject", type=float, default=0.0,
+                   help="synthetic assembly-gate rejection rate (bench.py "
+                        "--gate-reject): A/B the hooks under beam backtracking")
     args = p.parse_args()
     import jax
 

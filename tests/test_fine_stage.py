@@ -325,6 +325,113 @@ def test_refine_fleet_scoring_parity(gen):
         assert np.array_equal(got_top, want_top)
 
 
+def test_refine_check_batch_single_pass_parity(gen):
+    """check_batch's one-shot (state x candidate) scoring pass equals the
+    sequential swap-attempt rounds: every candidate applies its swap to the
+    state's ORIGINAL wids, so batching all attempts into one device call
+    must produce identical accepted swaps, dlogps and changed flags."""
+    from hierdiff_tpu.data.refine import make_refine_batch
+    from hierdiff_tpu.sampling.refine_hook import RefineHook
+    from hierdiff_tpu.sampling.ar import TreeState
+    from hierdiff_tpu.models.refine import NodeRefine
+    from hierdiff_tpu.data.assets import load_vocab_fps, load_vocab_smiles
+    from hierdiff_tpu.data.collate import bucket_for
+    from hierdiff_tpu.sampling.lattice import _next_pow2
+
+    model = NodeRefine(hidden_size=32, n_layers=1)
+    trees = gen.sample_trees(4, n=8)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_refine_batch(trees[:2], random.Random(0), max_n=8).items()}
+    params = model.init(jax.random.PRNGKey(0), batch)
+    vocab_sizes = np.array([int(round(load_vocab_fps()[s][3]))
+                            for s in load_vocab_smiles()])
+
+    def golden_check_batch(hook, states):
+        """Round-3 sequential swap-attempt rounds (pre-batching semantics)."""
+        results = [(s, 0.0, False) for s in states]
+        act = [si for si, s in enumerate(states)
+               if np.sum(s.wids >= 0) * hook.check_frac > 1]
+        if not act:
+            return results
+        nb = bucket_for(max(states[si].n for si in act))
+        sp = _next_pow2(len(act))
+        base = hook._pack_states([states[si] for si in act], nb, sp)
+        logp_m, top_m = hook._score_states(
+            base, [states[si].wids for si in act], nb, sp)
+        pending = []
+        for row, si in enumerate(act):
+            s = states[si]
+            assigned = np.nonzero(s.wids >= 0)[0]
+            wids = s.wids.copy()
+            logps = logp_m[row][assigned]
+            top = top_m[row][assigned]
+            total = logps.sum()
+            order = np.argsort(logps)
+            n_check = int(len(assigned) * hook.check_frac)
+            cand = [(int(i), int(top[i])) for i in order[:n_check]
+                    if i < len(assigned) * 0.5 and top[i] != wids[assigned[i]]]
+            if cand:
+                pending.append([row, si, assigned, wids, total, cand])
+        while pending:
+            wids_rows = [states[si].wids for si in act]
+            swaps = []
+            for ent in pending:
+                row, si, assigned, wids, total, cand = ent
+                pos, new_wid = cand[0]
+                new_wids = wids.copy()
+                new_wids[int(assigned[pos])] = new_wid
+                wids_rows[row] = new_wids
+                swaps.append(new_wids)
+            logp_m, _ = hook._score_states(base, wids_rows, nb, sp)
+            nxt = []
+            for ent, new_wids in zip(pending, swaps):
+                row, si, assigned, wids, total, cand = ent
+                pos, new_wid = cand.pop(0)
+                node = int(assigned[pos])
+                new_total = logp_m[row][assigned].sum()
+                ok = new_total > total
+                if ok:
+                    perturbed = states[si].clone()
+                    perturbed.wids = new_wids
+                    if hook.can_assemble is not None and not hook.can_assemble(perturbed, node):
+                        ok = False
+                    else:
+                        results[si] = (perturbed, float(total - new_total), True)
+                if not ok and cand:
+                    nxt.append([row, si, assigned, wids, total, cand])
+            pending = nxt
+        return results
+
+    def mk_states():
+        out = []
+        for t in trees:
+            adj = t.adj.astype(np.float32).copy()
+            out.append(TreeState(t.feats.astype(np.float32),
+                                 t.pos.astype(np.float32), adj,
+                                 t.wids.astype(np.int64).copy()))
+        return out
+
+    # a pure (state, node) gate exercises the walk-past-rejected path the
+    # same way in both implementations (call ORDER differs between them, so
+    # the gate must be stateless)
+    for gate in (None, lambda s, node: (int(s.wids[node]) + node) % 2 == 0):
+        hook = RefineHook(model, params, vocab_sizes, check_frac=0.9,
+                          can_assemble=gate)
+        got = hook.check_batch(mk_states())
+        hook2 = RefineHook(model, params, vocab_sizes, check_frac=0.9,
+                           can_assemble=gate)
+        want = golden_check_batch(hook2, mk_states())
+        assert len(got) == len(want)
+        changed_any = False
+        for (gs, gd, gc), (ws, wd, wc) in zip(got, want):
+            assert gc == wc
+            changed_any = changed_any or gc
+            np.testing.assert_allclose(gd, wd, rtol=1e-4, atol=1e-5)
+            assert np.array_equal(gs.wids, ws.wids)
+        if gate is None:
+            assert changed_any  # untrained model at check_frac=0.9 must swap
+
+
 def test_refine_hook_and_finalize(gen):
     """RefineHook: batched check_state + finalize repair semantics."""
     from hierdiff_tpu.data.refine import make_refine_batch
