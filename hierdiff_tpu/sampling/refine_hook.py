@@ -50,6 +50,9 @@ class RefineHook:
         self._support_cache: Dict[int, np.ndarray] = {}
         self._states_fn_cache: Dict[tuple, Callable] = {}
         self._size_table_cache: Optional[np.ndarray] = None
+        # lightweight perf counters (negligible overhead; refine_ab --stats)
+        self.stats = {"pack_s": 0.0, "pack_calls": 0, "score_s": 0.0,
+                      "score_calls": 0, "score_rows": 0, "host_s": 0.0}
 
     def _fn(self, n: int):
         if n not in self._fn_cache:
@@ -141,8 +144,119 @@ class RefineHook:
             self._states_fn_cache[key] = run
         return self._states_fn_cache[key]
 
+    def _fused_fn(self, nb: int, sp: int):
+        """ONE-dispatch check program at (bucket nb, padded fleet sp): pass 1
+        scores every masked-node variant (as ``_states_fn``), then the
+        CANDIDATE SELECTION — argsort of per-node logps, the front-half /
+        top!=current filters, the ``n_check`` cap — runs on device, and the
+        K = max(1, int(nb*check_frac)) slots' swap variants are re-scored
+        over all their nodes in the SAME program. The host only walks the
+        returned slots in order and applies the assembly gate. Measured
+        motivation: under gated beam backtracking the fleet shrinks to ~5
+        states/call and the ~60-75 ms tunnel dispatch latency dominates
+        (refine_ab --stats: 328 dispatches, 24.6 s score time of 28 s wall)
+        — this halves the dispatch count per fleet round to one."""
+        key = ("fused", nb, sp)
+        if key not in self._states_fn_cache:
+            model = self.model
+            check_frac = self.check_frac
+            K = max(1, int(nb * check_frac))
+            vsizes = jnp.asarray(self.vocab_sizes, jnp.int32)
+
+            def score_grid(params, feats, vocab_ids, pos, adj, nmask, table):
+                """Score all (row, masked-node) variants: rows of any batch
+                shape prefix Q -> (Q, N) logp-of-current + top-1 under the
+                size-restricted log-softmax."""
+                q, n, f = feats.shape
+                v = model.vocab_size
+                eye = jnp.eye(n, dtype=feats.dtype)
+                feats_e = feats[:, None, :, :] * (1.0 - eye)[None, :, :, None]
+                vocab_e = jnp.where(eye[None, :, :] > 0, MASK_TOKEN,
+                                    vocab_ids[:, None, :].astype(jnp.int32))
+                # sizes of the CURRENT assignment, via one-hot (no gathers)
+                voh = jax.nn.one_hot(jnp.clip(vocab_ids, 0, v - 1), v,
+                                     dtype=jnp.float32)
+                size = jnp.einsum("qnv,v->qn", voh,
+                                  vsizes.astype(jnp.float32)).astype(jnp.int32)
+                size_e = jnp.broadcast_to(size[:, None, :], (q, n, n))
+                pos_e = jnp.broadcast_to(pos[:, None], (q, n, n, 3))
+                adj_e = jnp.broadcast_to(adj[:, None], (q, n, n, n))
+                nmask_e = jnp.broadcast_to(nmask[:, None], (q, n, n, 1))
+                pad_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None],
+                                           (q, n))
+                val = jnp.sum(adj, axis=2)
+                rs = lambda a: a.reshape((q * n,) + a.shape[2:])
+                logits = model.apply(params, rs(feats_e), rs(vocab_e),
+                                     rs(size_e), rs(pos_e), rs(adj_e),
+                                     rs(nmask_e), pad_idx.reshape(-1),
+                                     val.reshape(-1),
+                                     method=NodeRefine.check_logits)
+                logits = logits.reshape(q, n, v)
+                soh = jax.nn.one_hot(jnp.clip(size, 0, table.shape[0] - 1),
+                                     table.shape[0], dtype=logits.dtype)
+                support = jnp.einsum("qnr,rv->qnv", soh, table)
+                coh = jax.nn.one_hot(jnp.clip(vocab_ids, 0, v - 1), v,
+                                     dtype=logits.dtype)
+                support = jnp.maximum(support, coh)
+                from hierdiff_tpu.ops.masked import masked_log_softmax
+                lp = masked_log_softmax(logits, support)
+                return jnp.sum(lp * coh, axis=-1), jnp.argmax(lp, axis=-1)
+
+            @jax.jit
+            def run(params, feats, wids, pos, adj, nmask, table):
+                s, n, _ = feats.shape
+                logp_cur, top = score_grid(params, feats, wids, pos, adj,
+                                           nmask, table)
+                # ---- candidate selection (device mirror of the host walk)
+                assigned = (wids >= 0) & (nmask[..., 0] > 0)       # (S, N)
+                m = jnp.sum(assigned, axis=1)                       # (S,)
+                n_check = jnp.floor(m * check_frac).astype(jnp.int32)
+                big = jnp.float32(jnp.inf)
+                order = jnp.argsort(jnp.where(assigned, logp_cur, big),
+                                    axis=1)                         # (S, N)
+                rank = jnp.cumsum(assigned.astype(jnp.int32), axis=1) - 1
+                koh = jax.nn.one_hot(order[:, :K], n,
+                                     dtype=jnp.float32)             # (S,K,N)
+                node_k = order[:, :K].astype(jnp.int32)             # (S, K)
+                take = lambda a: jnp.einsum(
+                    "skn,sn->sk", koh, a.astype(jnp.float32))
+                i_k = take(rank).astype(jnp.int32)
+                cur_k = take(wids).astype(jnp.int32)
+                top_k = take(top).astype(jnp.int32)
+                assigned_k = take(assigned) > 0
+                valid = ((jnp.arange(K)[None, :] < n_check[:, None])
+                         & (i_k.astype(jnp.float32) < 0.5 * m[:, None])
+                         & (top_k != cur_k) & assigned_k)           # (S, K)
+                # ---- swap variants: node_k -> top_k where valid
+                sel = koh * valid[:, :, None].astype(jnp.float32)   # (S,K,N)
+                wids_k = jnp.where(sel > 0,
+                                   jnp.broadcast_to(top_k[:, :, None], (s, K, n)),
+                                   jnp.broadcast_to(wids[:, None, :], (s, K, n)))
+                rs = lambda a: a.reshape((s * K,) + a.shape[2:])
+                bc = lambda a: rs(jnp.broadcast_to(a[:, None],
+                                                   (s, K) + a.shape[1:]))
+                new_logp, _ = score_grid(params, bc(feats), rs(wids_k),
+                                         bc(pos), bc(adj), bc(nmask), table)
+                new_logp = new_logp.reshape(s, K, n)
+                amask = assigned.astype(jnp.float32)
+                total = jnp.sum(logp_cur * amask, axis=1)           # (S,)
+                new_total = jnp.sum(new_logp * amask[:, None, :], axis=2)
+                # ONE packed f32 output: every extra returned array is an
+                # extra ~20-30 ms device->host readback through the tunnel
+                # (measured: 7 arrays -> 230 ms/dispatch, 1 -> ~60 ms).
+                # Columns: [total, node_k*K, wid_k*K, valid*K, new_total*K].
+                return jnp.concatenate(
+                    [total[:, None], node_k.astype(jnp.float32),
+                     top_k.astype(jnp.float32),
+                     valid.astype(jnp.float32), new_total], axis=1)
+
+            self._states_fn_cache[key] = run
+        return self._states_fn_cache[key]
+
     def _pack_states(self, states: Sequence[TreeState], nb: int, sp: int):
         """Per-STATE base arrays (reused unchanged across swap rounds)."""
+        import time
+        t0 = time.perf_counter()
         f = states[0].feats.shape[1]
         feats = np.zeros((sp, nb, f), np.float32)
         pos = np.zeros((sp, nb, 3), np.float32)
@@ -156,13 +270,18 @@ class RefineHook:
             np.fill_diagonal(a, 0)
             adj[i, :n, :n] = a
             nmask[i, :n] = 1.0
-        return (jnp.asarray(feats), jnp.asarray(pos), jnp.asarray(adj),
-                jnp.asarray(nmask))
+        out = (jnp.asarray(feats), jnp.asarray(pos), jnp.asarray(adj),
+               jnp.asarray(nmask))
+        self.stats["pack_s"] += time.perf_counter() - t0
+        self.stats["pack_calls"] += 1
+        return out
 
     def _score_states(self, base, wids_rows: Sequence[np.ndarray],
                       nb: int, sp: int):
         """Score every node of every state in one device call.
         Returns (logp_cur (S, nb), top (S, nb)) numpy arrays."""
+        import time
+        t0 = time.perf_counter()
         feats, pos, adj, nmask = base
         wids = np.zeros((sp, nb), np.int64)
         for i, w in enumerate(wids_rows):
@@ -172,7 +291,36 @@ class RefineHook:
             self.params, feats, jnp.asarray(wids), jnp.asarray(size, np.int32),
             pos, adj, nmask, jnp.asarray(self._size_table()))
         k = len(wids_rows)
-        return np.asarray(logp)[:k], np.asarray(top)[:k]
+        out = np.asarray(logp)[:k], np.asarray(top)[:k]
+        self.stats["score_s"] += time.perf_counter() - t0
+        self.stats["score_calls"] += 1
+        self.stats["score_rows"] += sp
+        return out
+
+    def _run_fused(self, base, wids_rows: Sequence[np.ndarray],
+                   nb: int, sp: int, K: int):
+        """One fused dispatch (single packed readback); returns numpy
+        (total, node_k, wid_k, valid, new_total) trimmed to len(wids_rows)
+        rows."""
+        import time
+        t0 = time.perf_counter()
+        feats, pos, adj, nmask = base
+        wids = np.zeros((sp, nb), np.int64)
+        for i, w in enumerate(wids_rows):
+            wids[i, :len(w)] = w
+            wids[i, len(w):] = -1     # padding nodes must read as unassigned
+        packed = np.asarray(self._fused_fn(nb, sp)(
+            self.params, feats, jnp.asarray(wids), pos, adj, nmask,
+            jnp.asarray(self._size_table())))[:len(wids_rows)]
+        total = packed[:, 0]
+        node_k = packed[:, 1: 1 + K].astype(np.int64)
+        wid_k = packed[:, 1 + K: 1 + 2 * K].astype(np.int64)
+        valid = packed[:, 1 + 2 * K: 1 + 3 * K] > 0.5
+        new_total = packed[:, 1 + 3 * K: 1 + 4 * K]
+        self.stats["score_s"] += time.perf_counter() - t0
+        self.stats["score_calls"] += 1
+        self.stats["score_rows"] += sp
+        return total, node_k, wid_k, valid, new_total
 
     def _score_nodes(self, jobs: List[Tuple[TreeState, np.ndarray, int]]) -> np.ndarray:
         """Each job = (state, wids_override, masked_node). One device call.
@@ -183,8 +331,11 @@ class RefineHook:
         fresh XLA compile per distinct K — measured as the dominant cost of
         the refine-on pipeline (one multi-second compile per round through
         the tunnel vs ~ms of actual device work)."""
+        import time
+
         from hierdiff_tpu.sampling.lattice import _next_pow2
 
+        t0 = time.perf_counter()
         nb = bucket_for(max(j[0].n for j in jobs))
         k = len(jobs)
         kp = _next_pow2(k)
@@ -214,7 +365,11 @@ class RefineHook:
         logits = self._fn(nb)(self.params, jnp.asarray(feats), jnp.asarray(vocab),
                               jnp.asarray(size), jnp.asarray(pos), jnp.asarray(adj),
                               jnp.asarray(nmask), jnp.asarray(pad_idx), jnp.asarray(val))
-        return np.asarray(logits)[:k]
+        out = np.asarray(logits)[:k]
+        self.stats["score_s"] += time.perf_counter() - t0
+        self.stats["score_calls"] += 1
+        self.stats["score_rows"] += kp
+        return out
 
     def _logps_from_logits(self, wids: np.ndarray, nodes: Sequence[int],
                            logits: np.ndarray):
@@ -252,16 +407,17 @@ class RefineHook:
     def check_batch(self, states: List[TreeState]) -> List[Tuple[TreeState, float, bool]]:
         """Batched check_tree across a fleet of beam candidates.
 
-        Device traffic: ONE per-state fleet call (``_score_states``) scores
-        every (state, node) pair AND applies the restricted softmax on
-        device, then ONE more batched call re-scores every (state, swap
-        candidate) pair — every candidate is evaluated against the state's
-        ORIGINAL wids, so the swap attempts are independent and need no
-        sequential rounds. The host then walks each state's candidates in
-        order and commits the first that raises the total (and passes the
-        assembly gate) — identical accept semantics to the reference's
-        sequential loop (model_refine.py:175-249) with exactly two device
-        dispatches per fleet round.
+        Device traffic: ONE fused dispatch per fleet chunk (``_fused_fn``) —
+        masked-node scoring, restricted softmax, candidate selection
+        (argsort + front-half/top!=current filters + n_check cap) and the
+        re-scoring of every candidate swap against the state's ORIGINAL wids
+        all run in a single device program. The host only walks each state's
+        candidate slots in order and commits the first that raises the total
+        (and passes the assembly gate) — identical accept semantics to the
+        reference's sequential loop (model_refine.py:175-249). Motivation:
+        under gated beam backtracking the ~60-75 ms tunnel dispatch latency
+        dominates the refine-on pipeline (refine_ab --stats), so dispatches
+        per fleet round go 1+rounds -> exactly 1.
         """
         from hierdiff_tpu.sampling.lattice import _next_pow2
 
@@ -271,68 +427,31 @@ class RefineHook:
         if not act:
             return results
         nb = bucket_for(max(states[si].n for si in act))
-        # bound device grid (S*nb variants per call); chunks share jit keys
-        max_states = max(1, 8192 // nb)
+        K = max(1, int(nb * self.check_frac))
+        # bound device grid ((1+K)*S*nb variants per call); chunks share keys
+        max_states = max(1, 8192 // (nb * (1 + K)))
         for c0 in range(0, len(act), max_states):
             chunk = act[c0: c0 + max_states]
             sp = _next_pow2(len(chunk))
             base = self._pack_states([states[si] for si in chunk], nb, sp)
-            logp_m, top_m = self._score_states(
-                base, [states[si].wids for si in chunk], nb, sp)
+            total_m, node_m, wid_m, valid_m, new_total_m = self._run_fused(
+                base, [states[si].wids for si in chunk], nb, sp, K)
 
-            # per state: candidate swap list (lowest-logp first, front half)
-            pending = []   # [si, assigned, wids, total, [(pos, new_wid)]]
+            # walk each state's candidate slots in order; commit the first
+            # that raises the total and passes the gate
             for row, si in enumerate(chunk):
                 s = states[si]
-                assigned = np.nonzero(s.wids >= 0)[0]
-                wids = s.wids.copy()
-                logps = logp_m[row][assigned]
-                top = top_m[row][assigned]
-                total = logps.sum()
-                order = np.argsort(logps)
-                n_check = int(len(assigned) * self.check_frac)
-                cand = [(int(i), int(top[i])) for i in order[:n_check]
-                        if i < len(assigned) * 0.5 and top[i] != wids[assigned[i]]]
-                if cand:
-                    pending.append([si, assigned, wids, total, cand])
-
-            # score every (state, candidate) pair in one batched pass: each
-            # candidate applies its swap to the ORIGINAL wids, so attempts
-            # are independent — no sequential rounds needed. Jobs are packed
-            # into pow2-padded fleets sharing the (nb, sp) jit keys.
-            jobs = []          # (ent_idx, node, new_wids)
-            for ei, ent in enumerate(pending):
-                si, assigned, wids, total, cand = ent
-                for pos, new_wid in cand:
-                    new_wids = wids.copy()
-                    new_wids[int(assigned[pos])] = new_wid
-                    jobs.append((ei, int(assigned[pos]), new_wids))
-            new_totals = np.zeros(len(jobs))
-            for j0 in range(0, len(jobs), max_states):
-                jc = jobs[j0: j0 + max_states]
-                jsp = _next_pow2(len(jc))
-                jbase = self._pack_states(
-                    [states[pending[ei][0]] for ei, _, _ in jc], nb, jsp)
-                jlogp, _ = self._score_states(
-                    jbase, [w for _, _, w in jc], nb, jsp)
-                for k, (ei, _, _) in enumerate(jc):
-                    new_totals[j0 + k] = jlogp[k][pending[ei][1]].sum()
-
-            # walk each state's candidates in order; commit the first that
-            # raises the total and passes the gate (same accept semantics
-            # as the sequential rounds).
-            starts = {}
-            for ji, (ei, _, _) in enumerate(jobs):
-                starts.setdefault(ei, ji)
-            for ei, ent in enumerate(pending):
-                si, assigned, wids, total, cand = ent
-                jstart = starts[ei]
-                for ci, (pos, new_wid) in enumerate(cand):
-                    node, new_wids = jobs[jstart + ci][1], jobs[jstart + ci][2]
-                    new_total = new_totals[jstart + ci]
+                total = total_m[row]
+                for k in range(K):
+                    if not valid_m[row, k]:
+                        continue
+                    new_total = new_total_m[row, k]
                     if new_total <= total:
                         continue
-                    perturbed = states[si].clone()
+                    node = int(node_m[row, k])
+                    new_wids = s.wids.copy()
+                    new_wids[node] = int(wid_m[row, k])
+                    perturbed = s.clone()
                     perturbed.wids = new_wids
                     if (self.can_assemble is not None
                             and not self.can_assemble(perturbed, node)):

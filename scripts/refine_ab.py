@@ -129,6 +129,8 @@ def main():
     p.add_argument("--gate-reject", type=float, default=0.0,
                    help="synthetic assembly-gate rejection rate (bench.py "
                         "--gate-reject): A/B the hooks under beam backtracking")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-rep hook dispatch/pack counters")
     args = p.parse_args()
     import jax
 
@@ -147,6 +149,14 @@ def main():
             best[k] = min(best.get(k, 1e9), dt)
             print(f"rep{rep} {k}: {dt:.2f}s ({ok}/{args.num} ok, "
                   f"{ok / dt:.1f} mol/s)", flush=True)
+            if args.stats:
+                st = pipe.sampler.refine_hook.stats
+                print(f"        stats: {st['score_calls']} dispatches "
+                      f"({st['score_rows']} rows, {st['score_s']:.2f}s), "
+                      f"{st['pack_calls']} packs ({st['pack_s']:.2f}s)",
+                      flush=True)
+                for key in st:
+                    st[key] = 0 if isinstance(st[key], int) else 0.0
     print(f"BEST old={best['old']:.2f}s new={best['new']:.2f}s "
           f"speedup={best['old'] / best['new']:.2f}x")
 
