@@ -54,30 +54,55 @@ class DeviceExpander:
             @jax.jit
             def step(params, feats, discovered, vocab_idx, pos, adj, node_mask,
                      bucket=None, table=None):
-                return model.apply(params, feats, discovered, vocab_idx, pos,
-                                   adj, node_mask, allowed_bucket=bucket,
-                                   allowed_table=table, method=EdgeDenoise.ar_step)
+                out = model.apply(params, feats, discovered, vocab_idx, pos,
+                                  adj, node_mask, allowed_bucket=bucket,
+                                  allowed_table=table, method=EdgeDenoise.ar_step)
+                # ONE packed f32 output: each extra returned array costs a
+                # separate ~20-30 ms blocking readback through the tunnel
+                # (same finding as RefineHook._fused_fn). Columns:
+                # [focal, target, did_attach, top_wid*k, top_logp*k].
+                return jnp.concatenate(
+                    [out["focal"][:, None].astype(jnp.float32),
+                     out["target"][:, None].astype(jnp.float32),
+                     out["did_attach"][:, None].astype(jnp.float32),
+                     out["top_wid"].astype(jnp.float32),
+                     out["top_logp"].astype(jnp.float32)], axis=1)
 
             self._step_cache[key] = step
         return self._step_cache[key]
 
     def _batch_step(self, states: Sequence[TreeState]):
         """Pad the fleet to one bucket and run the device step. Packing uses
-        the native treekit when available (runtime/treekit.cpp)."""
+        the native treekit when available (runtime/treekit.cpp).
+
+        The fleet is pow2-padded (the beam fleet size changes every round —
+        an unpadded batch would recompile per distinct size) and the step
+        returns one packed f32 matrix (single device->host readback)."""
+        from hierdiff_tpu.sampling.lattice import _next_pow2
+
         nb = bucket_for(max(s.n for s in states))
+        b = len(states)
+        bp = _next_pow2(b)
         from hierdiff_tpu import runtime
         if runtime.treekit_available():
             feats, pos, adj, vocab, disc, nmask = runtime.pack_ar_fleet_native(
                 states, nb, undiscovered_token=UNDISCOVERED_TOKEN)
+            if bp != b:
+                pad = lambda a: np.concatenate(
+                    [a, np.zeros((bp - b,) + a.shape[1:], a.dtype)])
+                feats, pos, adj, nmask = map(pad, (feats, pos, adj, nmask))
+                disc = pad(disc)
+                vocab = np.concatenate(
+                    [vocab, np.full((bp - b, nb), UNDISCOVERED_TOKEN,
+                                    vocab.dtype)])
         else:
-            b = len(states)
             f = states[0].feats.shape[1]
-            feats = np.zeros((b, nb, f), np.float32)
-            pos = np.zeros((b, nb, 3), np.float32)
-            adj = np.zeros((b, nb, nb), np.float32)
-            vocab = np.full((b, nb), UNDISCOVERED_TOKEN, np.int32)
-            disc = np.zeros((b, nb), np.int32)
-            nmask = np.zeros((b, nb, 1), np.float32)
+            feats = np.zeros((bp, nb, f), np.float32)
+            pos = np.zeros((bp, nb, 3), np.float32)
+            adj = np.zeros((bp, nb, nb), np.float32)
+            vocab = np.full((bp, nb), UNDISCOVERED_TOKEN, np.int32)
+            disc = np.zeros((bp, nb), np.int32)
+            nmask = np.zeros((bp, nb, 1), np.float32)
             for i, s in enumerate(states):
                 k = s.n
                 feats[i, :k] = s.feats
@@ -94,10 +119,22 @@ class DeviceExpander:
             from hierdiff_tpu.sampling.lattice import build_allowed_arrays
             bucket, table = build_allowed_arrays(
                 [s.feats for s in states], self.allowed_fn,
-                len(states), nb, self.model.out_node_nf)
+                bp, nb, self.model.out_node_nf)
+            # pow2-pad the union table too: its row count varies with batch
+            # contents and would otherwise change the jit key every round
+            tp = _next_pow2(len(table))
+            if tp != len(table):
+                table = np.concatenate(
+                    [table, np.ones((tp - len(table), table.shape[1]),
+                                    table.dtype)])
             args += [jnp.asarray(bucket), jnp.asarray(table)]
-        out = self._step_fn(nb, with_allowed)(self.params, *args)
-        return {k: np.asarray(v) for k, v in out.items()}
+        packed = np.asarray(self._step_fn(nb, with_allowed)(self.params, *args))[:b]
+        k = (packed.shape[1] - 3) // 2
+        return {"focal": packed[:, 0].astype(np.int64),
+                "target": packed[:, 1].astype(np.int64),
+                "did_attach": packed[:, 2] > 0.5,
+                "top_wid": packed[:, 3: 3 + k].astype(np.int64),
+                "top_logp": packed[:, 3 + k:]}
 
     def __call__(self, states: List[TreeState]) -> List[Expansion]:
         max_bucket = bucket_for(max(s.n for s in states))
