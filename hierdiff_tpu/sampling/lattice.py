@@ -140,9 +140,22 @@ class LatticeSampler:
             model = self.model
 
             def run(params, feats, pos, nmask, bucket=None, table=None):
-                return model.apply(params, feats, pos, nmask,
-                                   allowed_bucket=bucket, allowed_table=table,
-                                   method=EdgeDenoise.ar_lattice)
+                out = model.apply(params, feats, pos, nmask,
+                                  allowed_bucket=bucket, allowed_table=table,
+                                  method=EdgeDenoise.ar_lattice)
+                # Pack all five outputs into ONE (B, S, 3+2K) f32 matrix: a
+                # tunneled TPU pays ~20-30 ms per RETURNED ARRAY on top of the
+                # dispatch, so the chunk readback must be a single transfer
+                # (same trick as RefineHook._fused_fn). ints here are < 2^24,
+                # exactly representable in f32.
+                f32 = lambda a: a.astype(jnp.float32)
+                return jnp.concatenate([
+                    f32(out["focal"])[..., None],
+                    f32(out["target"])[..., None],
+                    f32(out["did_attach"])[..., None],
+                    f32(out["top_wid"]),
+                    f32(out["top_logp"]),
+                ], axis=-1)
 
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -189,15 +202,17 @@ class LatticeSampler:
 
         lattices: Dict[int, MoleculeLattice] = {}
         for chunk, out in pending:
-            out = {k: np.asarray(v) for k, v in out.items()}
+            out = np.asarray(out)                 # ONE readback per chunk
+            k = (out.shape[-1] - 3) // 2
             for row, i in enumerate(chunk):
                 n = blur_sets[i]["h"].shape[0]
+                o = out[row, :n]
                 lattices[i] = MoleculeLattice(
-                    focal=out["focal"][row, :n],
-                    target=out["target"][row, :n],
-                    attach=out["did_attach"][row, :n],
-                    top_wid=out["top_wid"][row, :n],
-                    top_logp=out["top_logp"][row, :n])
+                    focal=o[:, 0].astype(np.int32),
+                    target=o[:, 1].astype(np.int32),
+                    attach=o[:, 2] > 0.5,
+                    top_wid=o[:, 3:3 + k].astype(np.int64),
+                    top_logp=o[:, 3 + k:])
         return lattices
 
     # --- host search ----------------------------------------------------------
