@@ -254,7 +254,10 @@ def main():
     from hierdiff_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     p = argparse.ArgumentParser()
-    p.add_argument("batch", nargs="?", type=int, default=64)
+    # default batch = the measured-best production batch (scripts/
+    # batch_sweep.py: 1024 amortizes dispatch/scan gaps to 54% wall MFU,
+    # +50% mol/s over batch 64; BASELINE.md round-4 lever (b))
+    p.add_argument("batch", nargs="?", type=int, default=1024)
     p.add_argument("--stage", choices=["coarse", "fine", "pipeline"], default="coarse")
     p.add_argument("--num", type=int, default=32)
     p.add_argument("--beam", type=int, default=5)

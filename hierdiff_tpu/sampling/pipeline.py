@@ -107,6 +107,10 @@ class GenerationPipeline:
         chunks = [(nb, idxs[c0: c0 + bs])
                   for nb, idxs in sorted(by_bucket.items())
                   for c0 in range(0, len(idxs), bs)]
+        # dispatch every chunk first (JAX dispatch is async — host packing
+        # of chunk k+1 overlaps device compute of chunk k), then collect
+        # each as ONE packed (B, N, 3+F) readback (see sampling/lattice.py)
+        pending = []
         for nb, chunk in chunks:
             chunk = np.asarray(chunk)
             c0 = int(chunk[0])
@@ -120,10 +124,14 @@ class GenerationPipeline:
                 data = NamedSharding(self.mesh, P("data"))
                 nm = jax.device_put(nm, data)
                 em = jax.device_put(em, data)
-            x, h = sample_coarse(self.coarse_model, self.coarse_params,
-                                 jax.random.fold_in(rng_key, c0), nm, em,
-                                 steps=self.sample_steps)
-            x, h = np.asarray(x), np.asarray(h)
+            xh = sample_coarse(self.coarse_model, self.coarse_params,
+                               jax.random.fold_in(rng_key, c0), nm, em,
+                               steps=self.sample_steps, packed=True)
+            pending.append((chunk, xh))
+        nd = self.coarse_model.n_dims
+        for chunk, xh in pending:
+            xh = np.asarray(xh)                   # ONE readback per chunk
+            x, h = xh[..., :nd], xh[..., nd:]
             for row, i in enumerate(chunk):
                 c = int(counts[i])
                 hi = h[row, :c]
