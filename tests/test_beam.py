@@ -253,3 +253,17 @@ def test_lattice_mixed_sizes_and_buckets(fine_model):
         adj = r.adj.copy()
         np.fill_diagonal(adj, 0)
         assert adj.sum() == 2 * (r.n - 1)
+
+
+def test_lattice_chunk_cap_invariance(fine_model):
+    """Chunking must not change results: max_chunk=4 (forcing multiple
+    chunks + pow2 pad) == one big chunk, tree for tree."""
+    gen, model, params = fine_model
+    blur = [{"x": t.pos, "h": t.feats} for t in gen.sample_trees(10, n=5)]
+    res_one = LatticeSampler(model, params, beam_size=2).sample(blur)
+    res_chunked = LatticeSampler(model, params, beam_size=2,
+                                 max_chunk=4).sample(blur)
+    for a, b in zip(res_one, res_chunked):
+        assert a is not None and b is not None
+        np.testing.assert_array_equal(a.wids, b.wids)
+        np.testing.assert_array_equal(a.adj, b.adj)

@@ -212,3 +212,18 @@ def test_strided_sampler():
     assert float(mean_zero_max_violation(x10, nm)) < 1e-2
     # strided chain is a different sampler: output differs from the full one
     assert not np.allclose(np.asarray(x10), np.asarray(x_full))
+
+
+def test_packed_sampler_matches_tuple():
+    """packed=True (the pipeline's one-readback hand-off) is bit-identical
+    to the (x, h) tuple return."""
+    model = tiny_model(timesteps=20)
+    batch = tiny_batch(jax.random.PRNGKey(0))
+    params = model.init(jax.random.PRNGKey(1), batch, jax.random.PRNGKey(2), train=True)
+    counts = np.array([3, 5, 6, 4])
+    nm, em = make_masks_for_counts(counts, 6)
+    nm, em = jnp.asarray(nm), jnp.asarray(em)
+    x, h = sample_coarse(model, params, jax.random.PRNGKey(9), nm, em)
+    xh = sample_coarse(model, params, jax.random.PRNGKey(9), nm, em, packed=True)
+    np.testing.assert_array_equal(np.asarray(xh[..., :3]), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(xh[..., 3:]), np.asarray(h))
