@@ -151,9 +151,12 @@ def cmd_coarse(args):
                 rep(pocket_batch["protein_edge_mask"]),
                 steps=args.sample_steps or None)
         else:
-            x, h = sample_coarse(model, params, jax.random.fold_in(key, b), nm, em,
-                                 steps=args.sample_steps or None)
-        x, h = np.asarray(x), np.asarray(h)
+            xh = np.asarray(sample_coarse(                 # one readback
+                model, params, jax.random.fold_in(key, b), nm, em,
+                steps=args.sample_steps or None, packed=True))
+            x, h = xh[..., :3], xh[..., 3:]
+        if pocket_batch is not None:
+            x, h = np.asarray(x), np.asarray(h)
         for i, c in enumerate(counts):
             results.append({"x": x[i, :c], "h": h[i, :c]})
     with open(args.out, "wb") as f:

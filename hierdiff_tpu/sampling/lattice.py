@@ -74,6 +74,28 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def pow2_chunks(n: int, cap: int, min_chunk: int = 4):
+    """Greedy pow2 decomposition of a bucket population into chunk sizes.
+
+    Full ``cap``-sized chunks first, then the remainder split into
+    descending pow2 pieces (952 -> 512, 256, 128, 56) instead of one
+    chunk padded up to the next pow2 (952 -> pad 1024). Padding rows of
+    the dense (B,N,N) compute cost full FLOPs, so a trailing 800-molecule
+    chunk padded to 1024 wastes 28% of its device time; the greedy split
+    wastes at most ``min_chunk - 1`` rows total. Chunk-size diversity
+    stays bounded (pow2 only) so the jit cache cannot grow unboundedly."""
+    while n > 0:
+        if n >= cap:
+            yield cap
+            n -= cap
+            continue
+        p = min_chunk
+        while p * 2 <= n:
+            p *= 2
+        yield min(p, n)
+        n -= min(p, n)
+
+
 def build_allowed_arrays(feats_list: Sequence[np.ndarray],
                          allowed_fn: Callable[[np.ndarray], List[np.ndarray]],
                          b: int, nb: int, v: int):
@@ -184,8 +206,14 @@ class LatticeSampler:
         pending = []
         for nb, idxs in sorted(by_bucket.items()):
             cap = self._max_batch(nb)
-            for c0 in range(0, len(idxs), cap):
-                chunk = idxs[c0: c0 + cap]
+            # off-mesh: greedy pow2 chunking (no padded-row waste on the
+            # trailing chunk); on-mesh: fixed cap so shards stay even
+            takes = (pow2_chunks(len(idxs), cap) if self.mesh is None
+                     else [min(cap, len(idxs) - c) for c in range(0, len(idxs), cap)])
+            c0 = 0
+            for take in takes:
+                chunk = idxs[c0: c0 + take]
+                c0 += take
                 b = _next_pow2(len(chunk)) if self.mesh is None else cap
                 f = blur_sets[chunk[0]]["h"].shape[1]
                 feats = np.zeros((b, nb, f), np.float32)

@@ -28,7 +28,7 @@ from hierdiff_tpu.ops.distributions import DistributionNodes
 from hierdiff_tpu.sampling.ar import ARSampler
 from hierdiff_tpu.sampling.beam import TreeState
 from hierdiff_tpu.sampling.coarse import make_masks_for_counts, sample_coarse
-from hierdiff_tpu.sampling.lattice import LatticeSampler, _next_pow2
+from hierdiff_tpu.sampling.lattice import LatticeSampler, _next_pow2, pow2_chunks
 
 
 @dataclasses.dataclass
@@ -104,9 +104,18 @@ class GenerationPipeline:
         for i, c in enumerate(counts):
             by_bucket.setdefault(bucket_for(int(c)), []).append(i)
         out: List[Optional[Dict[str, np.ndarray]]] = [None] * n_molecules
-        chunks = [(nb, idxs[c0: c0 + bs])
-                  for nb, idxs in sorted(by_bucket.items())
-                  for c0 in range(0, len(idxs), bs)]
+        # off-mesh: greedy pow2 chunking — a trailing 800-molecule chunk
+        # padded to 1024 wastes 28% of its (B,N,N) device time; splitting
+        # the remainder into pow2 pieces wastes ~nothing (measured: the
+        # batch-1024 pipeline was LOSING to 256 by 11% purely from this)
+        chunks = []
+        for nb, idxs in sorted(by_bucket.items()):
+            takes = (pow2_chunks(len(idxs), bs, 64) if self.mesh is None
+                     else [min(bs, len(idxs) - c) for c in range(0, len(idxs), bs)])
+            c0 = 0
+            for take in takes:
+                chunks.append((nb, idxs[c0: c0 + take]))
+                c0 += take
         # dispatch every chunk first (JAX dispatch is async — host packing
         # of chunk k+1 overlaps device compute of chunk k), then collect
         # each as ONE packed (B, N, 3+F) readback (see sampling/lattice.py)

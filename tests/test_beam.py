@@ -255,6 +255,20 @@ def test_lattice_mixed_sizes_and_buckets(fine_model):
         assert adj.sum() == 2 * (r.n - 1)
 
 
+def test_pow2_chunks_decomposition():
+    """Greedy pow2 split must cover n exactly with cap-sized chunks first,
+    then descending pow2 pieces (bounded jit-cache diversity)."""
+    from hierdiff_tpu.sampling.lattice import pow2_chunks
+    for n in [1, 3, 4, 7, 64, 511, 512, 513, 952, 1000, 1024, 2500]:
+        for cap in [64, 512, 1024]:
+            pieces = list(pow2_chunks(n, cap, min_chunk=4))
+            assert sum(pieces) == n
+            # every piece except possibly the last is a pow2 <= cap
+            for p in pieces[:-1]:
+                assert p <= cap and (p & (p - 1)) == 0
+            assert pieces == sorted(pieces, reverse=True)
+
+
 def test_lattice_chunk_cap_invariance(fine_model):
     """Chunking must not change results: max_chunk=4 (forcing multiple
     chunks + pow2 pad) == one big chunk, tree for tree."""
