@@ -83,21 +83,30 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--buckets", type=int, nargs="*", default=[48, 96])
-    p.add_argument("--sweep", choices=["levers", "dtype"], default="levers",
+    p.add_argument("--sweep", choices=["levers", "dtype", "batch"],
+                   default="levers",
                    help="levers: remat x prefetch (round-2 sweep); dtype: "
                         "f32 vs bf16 training step at prefetch-on (VERDICT "
-                        "r2 weak #5 - reduced-precision training + MFU)")
+                        "r2 weak #5 - reduced-precision training + MFU); "
+                        "batch: batch-size amortization at bf16+prefetch "
+                        "(training-side analogue of scripts/batch_sweep.py)")
+    p.add_argument("--batches", type=int, nargs="*", default=[64, 128, 256],
+                   help="batch sizes for --sweep batch")
     args = p.parse_args()
     if args.sweep == "levers":
-        grid = [(b, remat, prefetch, None) for b, remat, prefetch in
-                itertools.product(args.buckets, [False, True], [False, True])]
-    else:
-        grid = [(b, False, True, dt) for b, dt in
+        grid = [(b, args.batch, remat, prefetch, None) for b, remat, prefetch
+                in itertools.product(args.buckets, [False, True],
+                                     [False, True])]
+    elif args.sweep == "dtype":
+        grid = [(b, args.batch, False, True, dt) for b, dt in
                 itertools.product(args.buckets, [None, "bfloat16"])]
-    for bucket, remat, prefetch, dtype in grid:
-        sps, mfu = measure(bucket, args.batch, remat, prefetch, args.steps,
+    else:
+        grid = [(b, bs, False, True, "bfloat16") for b, bs in
+                itertools.product(args.buckets, args.batches)]
+    for bucket, batch, remat, prefetch, dtype in grid:
+        sps, mfu = measure(bucket, batch, remat, prefetch, args.steps,
                            compute_dtype=dtype)
-        print(json.dumps({"bucket": bucket, "batch": args.batch,
+        print(json.dumps({"bucket": bucket, "batch": batch,
                           "remat": remat, "prefetch": prefetch,
                           "compute_dtype": dtype or "float32",
                           "steps_per_sec": round(sps, 3),
