@@ -189,7 +189,7 @@ def _synthetic_gate(reject_frac: float):
 
 def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
                    steps: int = 0, bf16: bool = True, refine: bool = False,
-                   gate_reject: float = 0.0):
+                   gate_reject: float = 0.0, fine_buckets: bool = False):
     import jax
     import random
     import jax.numpy as jnp
@@ -225,10 +225,15 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
 
     gate = _synthetic_gate(gate_reject) if gate_reject > 0 else None
 
+    sample_buckets = None
+    if fine_buckets:
+        from hierdiff_tpu.data.collate import SAMPLING_BUCKETS
+        sample_buckets = SAMPLING_BUCKETS
     pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
                               histogram=load_geom_histogram(), beam_size=beam,
                               refine_hook=refine_hook, can_assemble=gate,
-                              sample_steps=steps or None)
+                              sample_steps=steps or None,
+                              sample_buckets=sample_buckets)
     # same key for warmup and timing: molecule sizes (and thus the set of
     # compiled buckets) must match or compiles leak into the timed region
     pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False,
@@ -241,7 +246,8 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
     st = result.stats or {}
     n_steps = steps or coarse.timesteps
     tags = ("+refine" if refine else "") + (
-        f"+gate{gate_reject:g}" if gate_reject else "")
+        f"+gate{gate_reject:g}" if gate_reject else "") + (
+        "+fine-buckets" if fine_buckets else "")
     _emit("pipeline_molecules_per_sec_per_chip", ok / dt,
           f"molecules/sec/chip ({n_steps}-step EDM + beam-{beam} lattice AR{tags}, "
           f"{n_molecules} molecules)",
@@ -280,6 +286,10 @@ def main():
                    help="pipeline: synthetic assembly gate rejecting this "
                         "fraction of candidate expansions (measures "
                         "beam-search backtracking churn)")
+    p.add_argument("--fine-buckets", action="store_true",
+                   help="pipeline: coarse-stage SAMPLING_BUCKETS (finer pad "
+                        "set, ~23%% less padded N^2 under the GEOM "
+                        "histogram; see data/collate.py)")
     args = p.parse_args()
     if args.stage == "coarse":
         bench_coarse(args.batch, max_n=args.max_n, use_pallas=args.pallas,
@@ -290,7 +300,8 @@ def main():
     else:
         bench_pipeline(args.num, args.beam, batch_size=args.batch,
                        steps=args.steps, bf16=args.bf16, refine=args.refine,
-                       gate_reject=args.gate_reject)
+                       gate_reject=args.gate_reject,
+                       fine_buckets=args.fine_buckets)
 
 
 if __name__ == "__main__":

@@ -46,10 +46,15 @@ class GenerationPipeline:
                  int_nf: int = 5, refine_hook=None, can_assemble=None,
                  vocab=None, max_n_cap: Optional[int] = None,
                  allowed_fn=None, mesh=None,
-                 sample_steps: Optional[int] = None):
+                 sample_steps: Optional[int] = None,
+                 sample_buckets: Optional[Sequence[int]] = None):
         """sample_steps: strided reverse-chain length (None = the model's
         full T; 100 measured 7.5x faster with indistinguishable sampled
-        feature distributions — see BASELINE.md)."""
+        feature distributions — see BASELINE.md).
+
+        sample_buckets: coarse-stage pad-bucket set (None = collate
+        DEFAULT_BUCKETS; data.collate.SAMPLING_BUCKETS trades 3 extra
+        compiles for ~23% less padded N^2 under the GEOM histogram)."""
         self.coarse_model = coarse_model
         if mesh is not None:
             # replicate params up front so repeated sharded calls don't
@@ -75,6 +80,7 @@ class GenerationPipeline:
         self.max_n_cap = max_n_cap
         self.mesh = mesh
         self.sample_steps = sample_steps
+        self.sample_buckets = tuple(sample_buckets) if sample_buckets else None
 
     def sample_blur(self, rng_key, n_molecules: int, max_n: Optional[int] = None,
                     rng_np: Optional[np.random.Generator] = None,
@@ -88,8 +94,9 @@ class GenerationPipeline:
         then runs data-parallel across all chips with zero collectives (the
         reverse diffusion of distinct molecules is embarrassingly parallel).
         """
-        from hierdiff_tpu.data.collate import bucket_for
+        from hierdiff_tpu.data.collate import DEFAULT_BUCKETS, bucket_for
 
+        buckets = self.sample_buckets or DEFAULT_BUCKETS
         rng_np = rng_np or np.random.default_rng(0)
         counts = self.nodes_dist.sample_np(rng_np, n_molecules)
         if self.max_n_cap:
@@ -102,7 +109,7 @@ class GenerationPipeline:
         # 15-node trees to the 96 bucket — E[N^2] is ~25x smaller this way)
         by_bucket: Dict[int, list] = {}
         for i, c in enumerate(counts):
-            by_bucket.setdefault(bucket_for(int(c)), []).append(i)
+            by_bucket.setdefault(bucket_for(int(c), buckets), []).append(i)
         out: List[Optional[Dict[str, np.ndarray]]] = [None] * n_molecules
         # off-mesh: greedy pow2 chunking — a trailing 800-molecule chunk
         # padded to 1024 wastes 28% of its (B,N,N) device time; splitting

@@ -281,3 +281,56 @@ def test_lattice_chunk_cap_invariance(fine_model):
         assert a is not None and b is not None
         np.testing.assert_array_equal(a.wids, b.wids)
         np.testing.assert_array_equal(a.adj, b.adj)
+
+
+def test_sampling_buckets_waste_and_monotonicity():
+    """SAMPLING_BUCKETS must cover every DEFAULT_BUCKETS size and realize
+    the documented padded-N^2 saving (<=1.25x) under the shipped GEOM
+    histogram (data/collate.py rationale)."""
+    from hierdiff_tpu.data.assets import load_geom_histogram
+    from hierdiff_tpu.data.collate import (DEFAULT_BUCKETS, SAMPLING_BUCKETS,
+                                           bucket_for)
+
+    assert SAMPLING_BUCKETS == tuple(sorted(SAMPLING_BUCKETS))
+    assert SAMPLING_BUCKETS[-1] == DEFAULT_BUCKETS[-1]
+    hist = load_geom_histogram()
+    ns = np.array(sorted(hist))
+    ps = np.array([hist[n] for n in ns], float)
+    ps /= ps.sum()
+    true = (ps * ns.astype(float) ** 2).sum()
+    for buckets, cap in [(DEFAULT_BUCKETS, None), (SAMPLING_BUCKETS, 1.25)]:
+        pads = np.array([bucket_for(int(n), buckets) for n in ns], float)
+        assert (pads >= ns).all()
+        if cap is not None:
+            assert (ps * pads**2).sum() / true <= cap
+
+
+def test_pipeline_sampling_buckets_end_to_end(fine_model):
+    """GenerationPipeline with the finer SAMPLING_BUCKETS pad set: every
+    tree assembles, blur stays finite, sizes respect the histogram cap.
+    (Bucket choice re-partitions the coarse rng stream, so results are
+    distribution-equivalent — not sample-identical — to DEFAULT_BUCKETS;
+    within-bucket padding invariance is pinned elsewhere.)"""
+    from hierdiff_tpu.data.assets import load_geom_histogram
+    from hierdiff_tpu.data.collate import SAMPLING_BUCKETS, bucket_for
+    from hierdiff_tpu.models.diffusion import CoarseDiffusion
+    from hierdiff_tpu.sampling.coarse import make_masks_for_counts
+    from hierdiff_tpu.sampling.pipeline import GenerationPipeline
+
+    gen, denoise, dparams = fine_model
+    coarse = CoarseDiffusion(in_node_nf=8, timesteps=4, hidden_nf=32,
+                             n_layers=1)
+    nm, em = make_masks_for_counts(np.array([5, 7]), 8)
+    cb = {"positions": jnp.zeros((2, 8, 3)), "node_feature": jnp.zeros((2, 8, 8)),
+          "atom_mask": jnp.asarray(nm), "edge_mask": jnp.asarray(em)}
+    cparams = jax.jit(lambda r, b, r2: coarse.init(r, b, r2, train=True))(
+        jax.random.PRNGKey(0), cb, jax.random.PRNGKey(1))
+    pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
+                              histogram=load_geom_histogram(), beam_size=2,
+                              sample_buckets=SAMPLING_BUCKETS, max_n_cap=20)
+    res = pipe.run(jax.random.PRNGKey(3), 12, reconstruct=False, batch_size=4)
+    assert sum(t is not None for t in res.trees) == 12
+    for b in res.blur:
+        assert np.isfinite(b["x"]).all() and np.isfinite(b["h"]).all()
+        assert 1 <= b["x"].shape[0] <= 20
+        assert bucket_for(b["x"].shape[0], SAMPLING_BUCKETS) <= 20
