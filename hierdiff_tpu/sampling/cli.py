@@ -207,13 +207,18 @@ def cmd_generate(args):
                                  can_assemble=gate)
         print(f"refine @ {rstep}")
 
+    sample_buckets = None
+    if args.fine_buckets:
+        from hierdiff_tpu.data.collate import SAMPLING_BUCKETS
+        sample_buckets = SAMPLING_BUCKETS
     pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
                               histogram=load_histogram(
                                   ccfg["coarse"].get("dataset", "geom")),
                               beam_size=args.beam, refine_hook=refine_hook,
                               vocab=vocab, can_assemble=gate,
                               max_n_cap=args.max_nodes or None,
-                              mesh=mesh, sample_steps=args.sample_steps or None)
+                              mesh=mesh, sample_steps=args.sample_steps or None,
+                              sample_buckets=sample_buckets)
     result = pipe.run(jax.random.PRNGKey(args.seed), args.num,
                       reconstruct=HAS_RDKIT, n_workers=args.workers)
     ok = [t for t in result.trees if t is not None]
@@ -282,6 +287,11 @@ def main(argv=None):
     pg.add_argument("--sample-steps", type=int, default=0)
     pg.add_argument("--data-parallel", action=argparse.BooleanOptionalAction,
                     default=True, help="shard generation over all devices")
+    pg.add_argument("--fine-buckets", action="store_true",
+                    help="finer pad-bucket set (data/collate.py "
+                         "SAMPLING_BUCKETS): ~23%% less padded N^2 in the "
+                         "coarse stage, ~33%% less N^3 in the lattice, for "
+                         "a few extra compiles (distribution-equivalent)")
     pg.add_argument("--out", default="generated.pkl")
     pg.set_defaults(fn=cmd_generate)
 

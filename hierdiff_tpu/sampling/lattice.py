@@ -126,10 +126,16 @@ class LatticeSampler:
                  rng=None,
                  mesh=None,
                  hbm_budget_bytes: int = 2 << 30,
-                 max_chunk: Optional[int] = None):
+                 max_chunk: Optional[int] = None,
+                 buckets: Optional[Sequence[int]] = None):
         """allowed_fn(blur_feats (n,F)) -> per-node allowed vocab index
         arrays (the array_dict/size restriction of ar_sampling.py:62-118);
-        None disables the restriction (nosize variant)."""
+        None disables the restriction (nosize variant).
+
+        buckets: pad-bucket set (None = collate DEFAULT_BUCKETS). The
+        lattice scan length tracks the bucket, so cost is ~N^3 in the pad:
+        the finer SAMPLING_BUCKETS set cuts padded N^3 by 1.33x under the
+        GEOM histogram."""
         if model.gated and not model.dynamic_depth:
             # inference: bound depth scans by actual tree depth (exact under
             # gated=True; see EdgeDenoise.dynamic_depth)
@@ -145,6 +151,7 @@ class LatticeSampler:
         self.mesh = mesh
         self.hbm_budget = hbm_budget_bytes
         self.max_chunk = max_chunk
+        self.buckets = tuple(buckets) if buckets else None
         self._fn_cache: Dict[tuple, Callable] = {}
 
     # --- device side ---------------------------------------------------------
@@ -199,7 +206,9 @@ class LatticeSampler:
         """Group molecules by size bucket, pad, and run the scan per chunk."""
         by_bucket: Dict[int, List[int]] = {}
         for i, jt in enumerate(blur_sets):
-            by_bucket.setdefault(bucket_for(jt["h"].shape[0]), []).append(i)
+            by_bucket.setdefault(
+                bucket_for(jt["h"].shape[0], self.buckets) if self.buckets
+                else bucket_for(jt["h"].shape[0]), []).append(i)
 
         # dispatch every chunk first (JAX dispatch is async — host packing of
         # chunk k+1 overlaps device compute of chunk k), then collect

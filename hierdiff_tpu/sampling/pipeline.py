@@ -65,6 +65,7 @@ class GenerationPipeline:
             denoise_params = jax.device_put(denoise_params, repl)
         self.coarse_params = coarse_params
         self.nodes_dist = DistributionNodes(histogram)
+        self.sample_buckets = tuple(sample_buckets) if sample_buckets else None
         if denoise_model.vocab_conditioning:
             # type choices feed back into the trajectory: round-based path
             self.sampler = ARSampler(denoise_model, denoise_params,
@@ -74,13 +75,12 @@ class GenerationPipeline:
             self.sampler = LatticeSampler(denoise_model, denoise_params,
                                           beam_size=beam_size, can_assemble=can_assemble,
                                           refine_hook=refine_hook, allowed_fn=allowed_fn,
-                                          mesh=mesh)
+                                          mesh=mesh, buckets=self.sample_buckets)
         self.int_nf = int_nf
         self.vocab = vocab
         self.max_n_cap = max_n_cap
         self.mesh = mesh
         self.sample_steps = sample_steps
-        self.sample_buckets = tuple(sample_buckets) if sample_buckets else None
 
     def sample_blur(self, rng_key, n_molecules: int, max_n: Optional[int] = None,
                     rng_np: Optional[np.random.Generator] = None,

@@ -334,3 +334,19 @@ def test_pipeline_sampling_buckets_end_to_end(fine_model):
         assert np.isfinite(b["x"]).all() and np.isfinite(b["h"]).all()
         assert 1 <= b["x"].shape[0] <= 20
         assert bucket_for(b["x"].shape[0], SAMPLING_BUCKETS) <= 20
+
+
+def test_lattice_bucket_pad_invariance(fine_model):
+    """The lattice trajectory must not depend on the pad bucket: n=5 trees
+    padded to 8 vs 16 give identical trees (masked padding contributes
+    exact zeros to every reduction)."""
+    gen, model, params = fine_model
+    blur = [{"x": t.pos, "h": t.feats} for t in gen.sample_trees(6, n=5)]
+    res_8 = LatticeSampler(model, params, beam_size=2,
+                           buckets=(8,)).sample(blur)
+    res_16 = LatticeSampler(model, params, beam_size=2,
+                            buckets=(16,)).sample(blur)
+    for a, b in zip(res_8, res_16):
+        assert a is not None and b is not None
+        np.testing.assert_array_equal(a.wids, b.wids)
+        np.testing.assert_array_equal(a.adj, b.adj)
