@@ -206,6 +206,11 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
              make_denoise_batch(gen.sample_trees(2, n=8), random.Random(0), max_n=8).items()}
     dparams = jax.jit(denoise.init)(jax.random.PRNGKey(2), dummy)
 
+    sample_buckets = None
+    if fine_buckets:
+        from hierdiff_tpu.data.collate import SAMPLING_BUCKETS
+        sample_buckets = SAMPLING_BUCKETS
+
     refine_hook = None
     if refine:
         # the reference ALWAYS runs the check_tree perturbation on every
@@ -221,14 +226,11 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
               make_refine_batch(gen.sample_trees(2, n=8), random.Random(1),
                                 max_n=8).items()}
         rparams = jax.jit(rmodel.init)(jax.random.PRNGKey(3), rb)
-        refine_hook = RefineHook(rmodel, rparams, np.asarray(Vocab().mol_sizes))
+        refine_hook = RefineHook(rmodel, rparams, np.asarray(Vocab().mol_sizes),
+                                 buckets=sample_buckets)
 
     gate = _synthetic_gate(gate_reject) if gate_reject > 0 else None
 
-    sample_buckets = None
-    if fine_buckets:
-        from hierdiff_tpu.data.collate import SAMPLING_BUCKETS
-        sample_buckets = SAMPLING_BUCKETS
     pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
                               histogram=load_geom_histogram(), beam_size=beam,
                               refine_hook=refine_hook, can_assemble=gate,

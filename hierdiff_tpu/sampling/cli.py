@@ -193,6 +193,11 @@ def cmd_generate(args):
         # (fragment, neighbor set) (ar_sampling_nosize.py:199-200, 396-403)
         gate = make_assembly_gate(vocab)
 
+    sample_buckets = None
+    if args.fine_buckets:
+        from hierdiff_tpu.data.collate import SAMPLING_BUCKETS
+        sample_buckets = SAMPLING_BUCKETS
+
     refine_hook = None
     if args.refine_workdir:
         from hierdiff_tpu.chem.mol_tree import Vocab
@@ -204,13 +209,8 @@ def cmd_generate(args):
         # the gate makes check_tree swaps assembly-aware and activates
         # finalize()'s check_final_tree repair (model_refine.py:252-299)
         refine_hook = RefineHook(refine, rparams, vocab_sizes,
-                                 can_assemble=gate)
+                                 can_assemble=gate, buckets=sample_buckets)
         print(f"refine @ {rstep}")
-
-    sample_buckets = None
-    if args.fine_buckets:
-        from hierdiff_tpu.data.collate import SAMPLING_BUCKETS
-        sample_buckets = SAMPLING_BUCKETS
     pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
                               histogram=load_histogram(
                                   ccfg["coarse"].get("dataset", "geom")),

@@ -36,8 +36,12 @@ from hierdiff_tpu.sampling.ar import TreeState
 class RefineHook:
     def __init__(self, model: NodeRefine, params, vocab_sizes: np.ndarray,
                  check_frac: float = 0.1,
-                 can_assemble: Optional[Callable[[TreeState, int], bool]] = None):
-        """vocab_sizes: heavy-atom count per vocab index (Vocab.mol_sizes)."""
+                 can_assemble: Optional[Callable[[TreeState, int], bool]] = None,
+                 buckets: Optional[Sequence[int]] = None):
+        """vocab_sizes: heavy-atom count per vocab index (Vocab.mol_sizes).
+
+        buckets: pad-bucket set for fleet batches (None = collate
+        DEFAULT_BUCKETS; the fleet pads to the bucket of its max-n state)."""
         if model.gated and not model.dynamic_depth:
             # inference-only depth bound (see NodeRefine.dynamic_depth)
             model = model.clone(dynamic_depth=True)
@@ -46,6 +50,7 @@ class RefineHook:
         self.vocab_sizes = np.asarray(vocab_sizes)
         self.check_frac = check_frac
         self.can_assemble = can_assemble
+        self.buckets = tuple(buckets) if buckets else None
         self._fn_cache: Dict[int, Callable] = {}
         self._support_cache: Dict[int, np.ndarray] = {}
         self._states_fn_cache: Dict[tuple, Callable] = {}
@@ -336,7 +341,8 @@ class RefineHook:
         from hierdiff_tpu.sampling.lattice import _next_pow2
 
         t0 = time.perf_counter()
-        nb = bucket_for(max(j[0].n for j in jobs))
+        nb = bucket_for(max(j[0].n for j in jobs), self.buckets) \
+            if self.buckets else bucket_for(max(j[0].n for j in jobs))
         k = len(jobs)
         kp = _next_pow2(k)
         f = jobs[0][0].feats.shape[1]
@@ -426,7 +432,8 @@ class RefineHook:
                if np.sum(s.wids >= 0) * self.check_frac > 1]
         if not act:
             return results
-        nb = bucket_for(max(states[si].n for si in act))
+        nb = bucket_for(max(states[si].n for si in act), self.buckets) \
+            if self.buckets else bucket_for(max(states[si].n for si in act))
         K = max(1, int(nb * self.check_frac))
         # bound device grid ((1+K)*S*nb variants per call); chunks share keys
         max_states = max(1, 8192 // (nb * (1 + K)))

@@ -551,3 +551,39 @@ def test_fine_bf16_compute_dtype(denoise_setup, gen):
     top32 = np.asarray(lat32["top_wid"])[..., 0]
     top16 = np.asarray(lat16["top_wid"])[..., 0]
     assert (top32 == top16).mean() >= 0.8
+
+
+def test_refine_hook_bucket_pad_invariance(gen):
+    """Fleet scoring must not depend on the pad bucket: n=10 states scored
+    at bucket 12 (SAMPLING_BUCKETS) equal bucket 16 (DEFAULT_BUCKETS)
+    node-for-node — masked padding contributes exact zeros."""
+    import random as _random
+
+    from hierdiff_tpu.data.assets import load_vocab_fps, load_vocab_smiles
+    from hierdiff_tpu.data.refine import make_refine_batch
+    from hierdiff_tpu.models.refine import NodeRefine
+    from hierdiff_tpu.sampling.ar import TreeState
+    from hierdiff_tpu.sampling.lattice import _next_pow2
+    from hierdiff_tpu.sampling.refine_hook import RefineHook
+
+    model = NodeRefine(hidden_size=32, n_layers=1)
+    trees = gen.sample_trees(3, n=10)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_refine_batch(trees[:2], _random.Random(0), max_n=12).items()}
+    params = model.init(jax.random.PRNGKey(0), batch)
+    vocab_sizes = np.array([int(round(load_vocab_fps()[s][3]))
+                            for s in load_vocab_smiles()])
+    states = [TreeState(t.feats.astype(np.float32), t.pos.astype(np.float32),
+                        t.adj.astype(np.float32), t.wids.astype(np.int64))
+              for t in trees]
+    sp = _next_pow2(len(states))
+    out = {}
+    for nb in (12, 16):
+        hook = RefineHook(model, params, vocab_sizes, buckets=(nb,))
+        base = hook._pack_states(states, nb, sp)
+        out[nb] = hook._score_states(base, [s.wids for s in states], nb, sp)
+    for row, s in enumerate(states):
+        a = np.nonzero(s.wids >= 0)[0]
+        np.testing.assert_allclose(out[12][0][row][a], out[16][0][row][a],
+                                   rtol=1e-5, atol=1e-5)
+        assert np.array_equal(out[12][1][row][a], out[16][1][row][a])
