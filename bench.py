@@ -250,10 +250,16 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
     tags = ("+refine" if refine else "") + (
         f"+gate{gate_reject:g}" if gate_reject else "") + (
         "+fine-buckets" if fine_buckets else "")
+    # vs_baseline: the reference pipeline is not runnable here (RDKit), but
+    # its measured coarse stage ALONE (torch-CPU, BASELINE_MEASURED.json) is
+    # an upper bound on its end-to-end rate, so the ratio is a LOWER bound
+    # on the true end-to-end speedup.
     _emit("pipeline_molecules_per_sec_per_chip", ok / dt,
           f"molecules/sec/chip ({n_steps}-step EDM + beam-{beam} lattice AR{tags}, "
-          f"{n_molecules} molecules)",
-          None, t_coarse=round(st.get("t_coarse", 0.0), 2),
+          f"{n_molecules} molecules; vs_baseline is a lower bound vs the "
+          f"reference's coarse stage alone)",
+          _baseline("ref_batch64_n12_T1000"),
+          t_coarse=round(st.get("t_coarse", 0.0), 2),
           t_fine=round(st.get("t_fine", 0.0), 2),
           assembled=ok)
 
