@@ -295,9 +295,9 @@ def main():
                         "fraction of candidate expansions (measures "
                         "beam-search backtracking churn)")
     p.add_argument("--fine-buckets", action="store_true",
-                   help="pipeline: coarse-stage SAMPLING_BUCKETS (finer pad "
-                        "set, ~23%% less padded N^2 under the GEOM "
-                        "histogram; see data/collate.py)")
+                   help="pipeline: finer SAMPLING_BUCKETS pad set (1.23x "
+                        "less padded N^2, 1.33x less lattice N^3 under the "
+                        "GEOM histogram; see data/collate.py)")
     args = p.parse_args()
     if args.stage == "coarse":
         bench_coarse(args.batch, max_n=args.max_n, use_pallas=args.pallas,

@@ -19,7 +19,7 @@ DEFAULT_BUCKETS = (8, 16, 24, 32, 48, 64, 96)
 # Finer inference-side bucket set for large sampling sweeps: dense-EGNN cost
 # is quadratic in the pad, and under the GEOM node-count histogram the
 # default set wastes E[N_pad^2]/E[N^2] = 1.50x vs 1.22x for this one — a
-# ~23% theoretical coarse-stage saving, bit-exact (padding is masked; see
+# 1.23x padded-work reduction (18.7% less), bit-exact (padding is masked; see
 # tests/test_collate.py padded-vs-unpadded pins) at the cost of 3 extra
 # (batch, bucket) compiles, amortized by the persistent compilation cache.
 SAMPLING_BUCKETS = (8, 12, 16, 20, 24, 32, 40, 48, 64, 96)

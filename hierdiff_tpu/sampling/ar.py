@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hierdiff_tpu.data.collate import bucket_for
+from hierdiff_tpu.data.collate import DEFAULT_BUCKETS, bucket_for
 from hierdiff_tpu.models.edge_denoise import EdgeDenoise
 from hierdiff_tpu.sampling.beam import Expansion, PQBeamSearch, TreeState  # noqa: F401 (TreeState re-export)
 
@@ -37,13 +37,15 @@ class DeviceExpander:
     fine-grained splits a net loss)."""
 
     def __init__(self, model: EdgeDenoise, params,
-                 allowed_fn: Optional[Callable[[np.ndarray], List[np.ndarray]]] = None):
+                 allowed_fn: Optional[Callable[[np.ndarray], List[np.ndarray]]] = None,
+                 buckets: Optional[Sequence[int]] = None):
         if model.gated and not model.dynamic_depth:
             # inference-only depth bound (see EdgeDenoise.dynamic_depth)
             model = model.clone(dynamic_depth=True)
         self.model = model
         self.params = params
         self.allowed_fn = allowed_fn
+        self.buckets = tuple(buckets) if buckets else DEFAULT_BUCKETS
         self._step_cache: Dict[tuple, Callable] = {}
 
     def _step_fn(self, nb: int, with_allowed: bool):
@@ -80,7 +82,7 @@ class DeviceExpander:
         returns one packed f32 matrix (single device->host readback)."""
         from hierdiff_tpu.sampling.lattice import _next_pow2
 
-        nb = bucket_for(max(s.n for s in states))
+        nb = bucket_for(max(s.n for s in states), self.buckets)
         b = len(states)
         bp = _next_pow2(b)
         from hierdiff_tpu import runtime
@@ -137,9 +139,11 @@ class DeviceExpander:
                 "top_logp": packed[:, 3 + k:]}
 
     def __call__(self, states: List[TreeState]) -> List[Expansion]:
-        max_bucket = bucket_for(max(s.n for s in states))
-        small = [(i, s) for i, s in enumerate(states) if bucket_for(s.n) * 2 <= max_bucket]
-        large = [(i, s) for i, s in enumerate(states) if bucket_for(s.n) * 2 > max_bucket]
+        max_bucket = bucket_for(max(s.n for s in states), self.buckets)
+        small = [(i, s) for i, s in enumerate(states)
+                 if bucket_for(s.n, self.buckets) * 2 <= max_bucket]
+        large = [(i, s) for i, s in enumerate(states)
+                 if bucket_for(s.n, self.buckets) * 2 > max_bucket]
         results: List[Optional[Expansion]] = [None] * len(states)
         for grp in (small, large):
             if not grp:
@@ -162,7 +166,8 @@ class ARSampler:
                  allowed_fn: Optional[Callable[[np.ndarray], List[np.ndarray]]] = None,
                  vocab_fps: Optional[np.ndarray] = None,
                  retry_final_gate: bool = True,
-                 rng: Optional[random.Random] = None):
+                 rng: Optional[random.Random] = None,
+                 buckets: Optional[Sequence[int]] = None):
         """vocab_fps (V, F): replace a typed node's blur features with the
         fragment's own fp row (size variant, ar_sampling.py:170-182)."""
         self.model = model
@@ -170,7 +175,8 @@ class ARSampler:
         self.beam_size = beam_size
         self.can_assemble = can_assemble
         self.refine_hook = refine_hook
-        self.expander = DeviceExpander(model, params, allowed_fn=allowed_fn)
+        self.expander = DeviceExpander(model, params, allowed_fn=allowed_fn,
+                                       buckets=buckets)
         self.vocab_fps = vocab_fps
         self.retry_final_gate = retry_final_gate
         self.rng = rng

@@ -289,9 +289,10 @@ def main(argv=None):
                     default=True, help="shard generation over all devices")
     pg.add_argument("--fine-buckets", action="store_true",
                     help="finer pad-bucket set (data/collate.py "
-                         "SAMPLING_BUCKETS): ~23%% less padded N^2 in the "
-                         "coarse stage, ~33%% less N^3 in the lattice, for "
-                         "a few extra compiles (distribution-equivalent)")
+                         "SAMPLING_BUCKETS): 1.23x less padded N^2 in the "
+                         "coarse stage, 1.33x less N^3 in the fine stage, "
+                         "for a few extra compiles "
+                         "(distribution-equivalent)")
     pg.add_argument("--out", default="generated.pkl")
     pg.set_defaults(fn=cmd_generate)
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hierdiff_tpu.data.collate import bucket_for
+from hierdiff_tpu.data.collate import DEFAULT_BUCKETS, bucket_for
 from hierdiff_tpu.models.edge_denoise import EdgeDenoise
 from hierdiff_tpu.sampling.beam import Expansion, PQBeamSearch, TreeState
 
@@ -151,7 +151,7 @@ class LatticeSampler:
         self.mesh = mesh
         self.hbm_budget = hbm_budget_bytes
         self.max_chunk = max_chunk
-        self.buckets = tuple(buckets) if buckets else None
+        self.buckets = tuple(buckets) if buckets else DEFAULT_BUCKETS
         self._fn_cache: Dict[tuple, Callable] = {}
 
     # --- device side ---------------------------------------------------------
@@ -207,8 +207,7 @@ class LatticeSampler:
         by_bucket: Dict[int, List[int]] = {}
         for i, jt in enumerate(blur_sets):
             by_bucket.setdefault(
-                bucket_for(jt["h"].shape[0], self.buckets) if self.buckets
-                else bucket_for(jt["h"].shape[0]), []).append(i)
+                bucket_for(jt["h"].shape[0], self.buckets), []).append(i)
 
         # dispatch every chunk first (JAX dispatch is async — host packing of
         # chunk k+1 overlaps device compute of chunk k), then collect

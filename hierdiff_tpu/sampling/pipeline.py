@@ -52,9 +52,11 @@ class GenerationPipeline:
         full T; 100 measured 7.5x faster with indistinguishable sampled
         feature distributions — see BASELINE.md).
 
-        sample_buckets: coarse-stage pad-bucket set (None = collate
-        DEFAULT_BUCKETS; data.collate.SAMPLING_BUCKETS trades 3 extra
-        compiles for ~23% less padded N^2 under the GEOM histogram)."""
+        sample_buckets: pad-bucket set for the coarse chunking AND the
+        fine-stage samplers (None = collate DEFAULT_BUCKETS;
+        data.collate.SAMPLING_BUCKETS trades a few extra compiles for
+        1.23x less padded N^2 / 1.33x less lattice N^3 under the GEOM
+        histogram)."""
         self.coarse_model = coarse_model
         if mesh is not None:
             # replicate params up front so repeated sharded calls don't
@@ -70,7 +72,8 @@ class GenerationPipeline:
             # type choices feed back into the trajectory: round-based path
             self.sampler = ARSampler(denoise_model, denoise_params,
                                      beam_size=beam_size, can_assemble=can_assemble,
-                                     refine_hook=refine_hook, allowed_fn=allowed_fn)
+                                     refine_hook=refine_hook, allowed_fn=allowed_fn,
+                                     buckets=self.sample_buckets)
         else:
             self.sampler = LatticeSampler(denoise_model, denoise_params,
                                           beam_size=beam_size, can_assemble=can_assemble,

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hierdiff_tpu.data.collate import bucket_for
+from hierdiff_tpu.data.collate import DEFAULT_BUCKETS, bucket_for
 from hierdiff_tpu.data.refine import size_support_indices
 from hierdiff_tpu.models.refine import MASK_TOKEN, NodeRefine
 from hierdiff_tpu.sampling.ar import TreeState
@@ -50,7 +50,7 @@ class RefineHook:
         self.vocab_sizes = np.asarray(vocab_sizes)
         self.check_frac = check_frac
         self.can_assemble = can_assemble
-        self.buckets = tuple(buckets) if buckets else None
+        self.buckets = tuple(buckets) if buckets else DEFAULT_BUCKETS
         self._fn_cache: Dict[int, Callable] = {}
         self._support_cache: Dict[int, np.ndarray] = {}
         self._states_fn_cache: Dict[tuple, Callable] = {}
@@ -341,8 +341,7 @@ class RefineHook:
         from hierdiff_tpu.sampling.lattice import _next_pow2
 
         t0 = time.perf_counter()
-        nb = bucket_for(max(j[0].n for j in jobs), self.buckets) \
-            if self.buckets else bucket_for(max(j[0].n for j in jobs))
+        nb = bucket_for(max(j[0].n for j in jobs), self.buckets)
         k = len(jobs)
         kp = _next_pow2(k)
         f = jobs[0][0].feats.shape[1]
@@ -432,8 +431,7 @@ class RefineHook:
                if np.sum(s.wids >= 0) * self.check_frac > 1]
         if not act:
             return results
-        nb = bucket_for(max(states[si].n for si in act), self.buckets) \
-            if self.buckets else bucket_for(max(states[si].n for si in act))
+        nb = bucket_for(max(states[si].n for si in act), self.buckets)
         K = max(1, int(nb * self.check_frac))
         # bound device grid ((1+K)*S*nb variants per call); chunks share keys
         max_states = max(1, 8192 // (nb * (1 + K)))

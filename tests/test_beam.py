@@ -350,3 +350,23 @@ def test_lattice_bucket_pad_invariance(fine_model):
         assert a is not None and b is not None
         np.testing.assert_array_equal(a.wids, b.wids)
         np.testing.assert_array_equal(a.adj, b.adj)
+
+
+def test_round_sampler_bucket_threading_matches_lattice(fine_model):
+    """ARSampler with the finer bucket set (n=10 -> pad 12) must equal
+    LatticeSampler at the default set (n=10 -> pad 16): exercises the
+    buckets= threading through DeviceExpander AND cross-sampler pad
+    invariance in one shot."""
+    from hierdiff_tpu.data.collate import SAMPLING_BUCKETS
+
+    gen, model, params = fine_model
+    blur = [{"x": t.pos, "h": t.feats} for t in gen.sample_trees(3, n=10)]
+    res_round = ARSampler(model, params, beam_size=2,
+                          rng=random.Random(7),
+                          buckets=SAMPLING_BUCKETS).sample(blur)
+    res_lat = LatticeSampler(model, params, beam_size=2,
+                             rng=random.Random(7)).sample(blur)
+    for a, b in zip(res_round, res_lat):
+        assert a is not None and b is not None
+        np.testing.assert_array_equal(a.wids, b.wids)
+        np.testing.assert_array_equal(a.adj, b.adj)
