@@ -53,13 +53,18 @@ def _silu(x):
     return x * _sigmoid(x)
 
 
-def _pick_tiles(b: int, n: int, h: int) -> Tuple[int, int]:
+def _pick_tiles(b: int, n: int, h: int, elem_bytes: int = 4) -> Tuple[int, int]:
     """(batch_tile, row_chunk) with the (TB, CI, N, H) block <= ~1.5MB.
 
     The compiler keeps a few message-sized intermediates live; 1.5MB blocks
-    stay inside the 16MB scoped VMEM limit."""
+    stay inside the 16MB scoped VMEM limit. ``elem_bytes`` is the ACTIVATION
+    element size: at bf16 the message intermediates are half the bytes, so
+    the row chunk can double — fewer grid steps means the (N,H) dst-side
+    matmul and the h_full block are not recomputed/re-read per chunk (at
+    B=256/N=48 the f32 sizing forced 2 row chunks and duplicated that work,
+    measured as most of the bf16 kernel's gap to XLA)."""
     budget = 3 * 1024 * 1024 // 2
-    per_row = n * h * 4
+    per_row = n * h * elem_bytes
     ci = n
     tb = max(1, budget // max(ci * per_row, 1))
     while b % tb != 0:
@@ -126,9 +131,9 @@ def fused_gcl(h: Array, edge_attr: Array, edge_mask: Array, node_mask: Array,
     flax param subtree of ops.egnn.DenseGCL. ``compute_dtype='bfloat16'``
     keeps the in-VMEM edge pipeline bf16 (f32 row-sum accumulation)."""
     b, n, hd = h.shape
-    tb, ci = _pick_tiles(b, n, hd)
-    grid = (b // tb, n // ci)
     act_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    tb, ci = _pick_tiles(b, n, hd, 2 if act_dtype == jnp.bfloat16 else 4)
+    grid = (b // tb, n // ci)
 
     row = lambda shape: pl.BlockSpec(shape, lambda bi, ii: (bi, ii) + (0,) * (len(shape) - 2),
                                      memory_space=pltpu.VMEM)
@@ -191,9 +196,9 @@ def fused_coord_update(h: Array, edge_attr: Array, coord_diff: Array, x: Array,
                        coords_range: float, compute_dtype=None) -> Array:
     """Fused EquivariantUpdate (ops.egnn.DenseEquivariantUpdate params)."""
     b, n, hd = h.shape
-    tb, ci = _pick_tiles(b, n, hd)
-    grid = (b // tb, n // ci)
     act_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    tb, ci = _pick_tiles(b, n, hd, 2 if act_dtype == jnp.bfloat16 else 4)
+    grid = (b // tb, n // ci)
     row = lambda shape: pl.BlockSpec(shape, lambda bi, ii: (bi, ii) + (0,) * (len(shape) - 2),
                                      memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda bi, ii: (bi,) + (0,) * (len(shape) - 1),
