@@ -20,6 +20,7 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 _i8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -66,6 +67,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         _i32p, _i64p, _f32p, _f32p, _f32p, _i64p, _i64p, ctypes.c_int32,
         _f32p, _f32p, _f32p, _i32p, _i32p, _f32p]
+
+    lib.tk_beam_search_lattice.restype = None
+    lib.tk_beam_search_lattice.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        _i32p, _i64p, _i32p, _i32p, _i8p, _i64p, _f32p,
+        _u32p, ctypes.POINTER(ctypes.c_int32), _i64p, _i8p, _f64p]
 
     _lib = lib
     return lib
@@ -176,3 +183,57 @@ def pack_ar_fleet_native(states, max_n: int, undiscovered_token: int = 780):
                          feats, pos, adj, vocab, disc,
                          nmask.reshape(b, max_n))
     return feats, pos, adj, vocab, disc, nmask
+
+
+def beam_search_lattice_native(lattices, sizes, beam_size: int, rng,
+                               max_expansions_factor: int = 40):
+    """Native PQ beam search over precomputed lattices (the ungated,
+    no-refine-hook fast path of sampling.beam.PQBeamSearch +
+    sampling.lattice.LatticeExpander).
+
+    Bit-exact with the Python search: priorities are IEEE doubles
+    accumulated in the same order, and the per-candidate 1e-8 tiebreak
+    stream CONTINUES the caller's ``random.Random`` — its Mersenne state is
+    passed in and written back, so interleaving native and Python searches
+    on one rng gives identical draws (pinned in tests/test_runtime.py).
+
+    lattices: {index: MoleculeLattice}; sizes: per-molecule node counts in
+    index order. Returns (wids (M, padded to max n) int64 with -1 rows
+    beyond n or on failure, ok (M,) bool, logp (M,) float64).
+    """
+    lib = _load()
+    assert lib is not None
+    m = len(sizes)
+    sizes32 = np.asarray(sizes, np.int32)
+    offsets = np.zeros(m, np.int64)
+    offsets[1:] = np.cumsum(sizes32[:-1])
+    total = int(sizes32.sum())
+    k = lattices[0].top_wid.shape[1]
+    focal = np.empty(total, np.int32)
+    target = np.empty(total, np.int32)
+    attach = np.empty(total, np.uint8)
+    top_wid = np.empty((total, k), np.int64)
+    top_logp = np.empty((total, k), np.float32)
+    for i in range(m):
+        o, n = int(offsets[i]), int(sizes32[i])
+        lat = lattices[i]
+        focal[o:o + n] = lat.focal[:n]
+        target[o:o + n] = lat.target[:n]
+        attach[o:o + n] = lat.attach[:n]
+        top_wid[o:o + n] = lat.top_wid[:n]
+        top_logp[o:o + n] = lat.top_logp[:n]
+
+    version, state, gauss = rng.getstate()
+    mt = np.asarray(state[:624], np.uint32)
+    pos = ctypes.c_int32(state[624])
+    out_wids = np.full(total, -1, np.int64)
+    ok = np.zeros(m, np.uint8)
+    logp = np.zeros(m, np.float64)
+    lib.tk_beam_search_lattice(
+        m, k, beam_size, max_expansions_factor, sizes32, offsets,
+        focal, target, attach,
+        np.ascontiguousarray(top_wid), np.ascontiguousarray(top_logp),
+        mt, ctypes.byref(pos), out_wids, ok, logp)
+    rng.setstate((version, tuple(int(v) for v in mt) + (int(pos.value),), gauss))
+    return ([out_wids[int(offsets[i]): int(offsets[i]) + int(sizes32[i])]
+             for i in range(m)], ok.astype(bool), logp)

@@ -15,6 +15,7 @@
 //
 // Build: make -C hierdiff_tpu/runtime   (produces libtreekit.so)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <random>
@@ -222,6 +223,166 @@ void tk_pack_ar_fleet(
     for (int i = n; i < max_n; ++i)
       vocab[(size_t)b * max_n + i] = undiscovered_token;
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native PQ beam search over precomputed expansion lattices
+// (sampling/beam.py PQBeamSearch driven by sampling/lattice.py
+// LatticeExpander, ungated / no-refine-hook fast path).
+//
+// Bit-exact with the Python implementation: the tiny random tiebreak added
+// to every pushed candidate (beam.py, mirroring ar_sampling_nosize.py:308)
+// is drawn from a Mersenne Twister CONTINUED from the caller's
+// random.Random state (mt_state/mt_pos in/out, from rng.getstate()), and
+// all priorities are IEEE doubles accumulated in the same order.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PyMT {
+  uint32_t* mt;       // 624 words, caller-owned (written back)
+  int32_t idx;
+  uint32_t next() {
+    if (idx >= 624) {
+      for (int i = 0; i < 624; ++i) {
+        uint32_t y = (mt[i] & 0x80000000u) | (mt[(i + 1) % 624] & 0x7fffffffu);
+        uint32_t v = mt[(i + 397) % 624] ^ (y >> 1);
+        if (y & 1u) v ^= 2567483615u;
+        mt[i] = v;
+      }
+      idx = 0;
+    }
+    uint32_t y = mt[idx++];
+    y ^= (y >> 11);
+    y ^= (y << 7) & 2636928640u;
+    y ^= (y << 15) & 4022730752u;
+    y ^= (y >> 18);
+    return y;
+  }
+  // CPython random_random (genrand_res53)
+  double res53() {
+    uint32_t a = next() >> 5, b = next() >> 6;
+    return (a * 67108864.0 + b) * (1.0 / 9007199254740992.0);
+  }
+};
+
+struct BeamEntry {
+  double logp;
+  uint64_t push;      // global push counter: the heapq tiebreak
+  int32_t t;          // nodes assigned so far
+  int64_t chain;      // arena index of the last choice, -1 for the init state
+  uint8_t is_root;    // last_edge is None (init state or root-typing child)
+};
+
+struct ChainNode {
+  int64_t parent;
+  int32_t step;
+  int64_t wid;
+};
+
+inline bool entry_less(const BeamEntry& a, const BeamEntry& b) {
+  return a.logp != b.logp ? a.logp < b.logp : a.push < b.push;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Inputs are flattened over molecules (node offsets in `offsets`):
+//   focal/target/attach: per-step lattice trajectory (length n per molecule)
+//   top_wid/top_logp:    (n, K) per molecule, best-first
+// mt_state (624 u32) + mt_pos: CPython Random internal state, updated.
+// Outputs: out_wids (-1 where unfinished), out_ok, out_logp.
+void tk_beam_search_lattice(
+    int32_t n_mol, int32_t k, int32_t beam_size, int32_t max_exp_factor,
+    const int32_t* sizes, const int64_t* offsets,
+    const int32_t* focal, const int32_t* target, const uint8_t* attach,
+    const int64_t* top_wid, const float* top_logp,
+    uint32_t* mt_state, int32_t* mt_pos,
+    int64_t* out_wids, uint8_t* out_ok, double* out_logp) {
+  (void)focal;
+  PyMT rng{mt_state, *mt_pos};
+  std::vector<ChainNode> arena;
+  std::vector<std::vector<BeamEntry>> heaps(n_mol);
+  std::vector<int64_t> budget(n_mol);
+  std::vector<uint8_t> finished(n_mol, 0);
+  std::vector<BeamEntry> best(n_mol);
+  uint64_t push_count = 0;
+
+  for (int m = 0; m < n_mol; ++m) {
+    heaps[m].push_back(BeamEntry{0.0, ++push_count, 0, -1, 1});
+    budget[m] = (int64_t)max_exp_factor * sizes[m];
+    out_ok[m] = 0;
+    out_logp[m] = 0.0;
+  }
+
+  bool any = true;
+  while (any) {
+    any = false;
+    for (int m = 0; m < n_mol; ++m) {
+      if (finished[m] || heaps[m].empty() || budget[m] <= 0) continue;
+      any = true;
+      // pop the cheapest entry (vector-min: heaps are <= beam+roots long)
+      size_t mi = 0;
+      for (size_t i = 1; i < heaps[m].size(); ++i)
+        if (entry_less(heaps[m][i], heaps[m][mi])) mi = i;
+      BeamEntry e = heaps[m][mi];
+      heaps[m].erase(heaps[m].begin() + mi);
+
+      const int n = sizes[m];
+      if (e.t >= n) {            // completed: accept on pop (no gate here)
+        finished[m] = 1;
+        best[m] = e;
+        out_ok[m] = 1;
+        out_logp[m] = e.logp;
+        heaps[m].clear();        // purge (remove_queue_dup keep=0)
+        continue;
+      }
+
+      // expand: push up to beam_size candidates of step e.t
+      budget[m] -= 1;
+      const int64_t off = offsets[m];
+      const int64_t row = (off + e.t) * k;
+      const int kk = beam_size < k ? beam_size : k;
+      const uint8_t att = attach[off + e.t];
+      for (int c = 0; c < kk; ++c) {
+        double lp = (double)top_logp[row + c];
+        if (lp < -1e8) continue;             // outside restricted support
+        double child_logp = e.logp + (-lp) + 1e-8 * rng.res53();
+        arena.push_back(ChainNode{e.chain, e.t, top_wid[row + c]});
+        heaps[m].push_back(BeamEntry{child_logp, ++push_count, e.t + 1,
+                                     (int64_t)arena.size() - 1,
+                                     (uint8_t)(att ? 0 : 1)});
+      }
+      // prune (beam.py _prune): keep ALL root-step entries + the
+      // (beam_size - #roots) cheapest attach-step entries
+      int n_roots = 0;
+      for (const auto& en : heaps[m]) n_roots += en.is_root;
+      int keep = beam_size - n_roots;
+      if (keep < 0) keep = 0;
+      std::vector<BeamEntry> roots, rest;
+      roots.reserve(n_roots);
+      rest.reserve(heaps[m].size());
+      for (const auto& en : heaps[m])
+        (en.is_root ? roots : rest).push_back(en);
+      if ((int)rest.size() > keep) {
+        std::sort(rest.begin(), rest.end(), entry_less);
+        rest.resize(keep);
+      }
+      roots.insert(roots.end(), rest.begin(), rest.end());
+      heaps[m].swap(roots);
+    }
+  }
+
+  for (int m = 0; m < n_mol; ++m) {
+    if (!out_ok[m]) continue;
+    const int64_t off = offsets[m];
+    for (int64_t c = best[m].chain; c >= 0; c = arena[c].parent)
+      out_wids[off + target[off + arena[c].step]] = arena[c].wid;
+  }
+  *mt_pos = rng.idx;
 }
 
 }  // extern "C"

@@ -127,7 +127,8 @@ class LatticeSampler:
                  mesh=None,
                  hbm_budget_bytes: int = 2 << 30,
                  max_chunk: Optional[int] = None,
-                 buckets: Optional[Sequence[int]] = None):
+                 buckets: Optional[Sequence[int]] = None,
+                 native_search: bool = True):
         """allowed_fn(blur_feats (n,F)) -> per-node allowed vocab index
         arrays (the array_dict/size restriction of ar_sampling.py:62-118);
         None disables the restriction (nosize variant).
@@ -152,6 +153,7 @@ class LatticeSampler:
         self.hbm_budget = hbm_budget_bytes
         self.max_chunk = max_chunk
         self.buckets = tuple(buckets) if buckets else DEFAULT_BUCKETS
+        self.native_search = native_search
         self._fn_cache: Dict[tuple, Callable] = {}
 
     # --- device side ---------------------------------------------------------
@@ -269,6 +271,11 @@ class LatticeSampler:
         if not blur_sets:
             return []
         lattices = self.compute_lattices(blur_sets)
+        if (self.can_assemble is None and self.refine_hook is None
+                and self.native_search):
+            from hierdiff_tpu import runtime
+            if runtime.treekit_available():
+                return self._sample_native(blur_sets, lattices)
         init = []
         for idx, jt in enumerate(blur_sets):
             n = jt["h"].shape[0]
@@ -283,3 +290,40 @@ class LatticeSampler:
             can_assemble=self.can_assemble, refine_hook=self.refine_hook,
             rng=self.rng, retry_final_gate=self.retry_final_gate)
         return search.run(init)
+
+    def _sample_native(self, blur_sets, lattices) -> List[Optional[TreeState]]:
+        """Ungated/no-hook fast path: the whole PQ search in C++
+        (runtime/treekit.cpp tk_beam_search_lattice) — BIT-EXACT with the
+        Python search including the rng tiebreak stream (the caller rng's
+        Mersenne state is continued and written back; parity pinned in
+        tests/test_runtime.py). ~60x less host time at GEOM sizes."""
+        import random as _random
+
+        from hierdiff_tpu import runtime
+
+        sizes = [jt["h"].shape[0] for jt in blur_sets]
+        rng = self.rng if self.rng is not None else _random.Random(2022)
+        wids, ok, logp = runtime.beam_search_lattice_native(
+            lattices, sizes, self.beam_size, rng)
+        out: List[Optional[TreeState]] = []
+        for i, jt in enumerate(blur_sets):
+            if not ok[i]:
+                out.append(None)
+                continue
+            n = sizes[i]
+            lat = lattices[i]
+            adj = np.zeros((n, n), np.float32)
+            last_edge = None
+            for t in range(n):
+                if lat.attach[t]:
+                    f, tg = int(lat.focal[t]), int(lat.target[t])
+                    adj[f, tg] = adj[tg, f] = 1.0
+                    last_edge = (f, tg)
+            if last_edge is None:
+                adj[0, 0] = 1.0     # n==1: the root marker is never cleared
+            out.append(TreeState(
+                feats=np.asarray(jt["h"], np.float32),
+                pos=np.asarray(jt["x"], np.float32),
+                adj=adj, wids=wids[i], logp=float(logp[i]), index=i,
+                last_edge=last_edge))
+        return out

@@ -111,3 +111,90 @@ def test_pack_ar_fleet_matches_python(trees):
             vocab[i, :k], np.where(assigned, s.wids, 780).astype(np.int32))
         np.testing.assert_array_equal(disc[i, :k], assigned.astype(np.int32))
         assert nmask[i, :k].sum() == k and nmask[i, k:].sum() == 0
+
+
+def _random_lattices(m, k=5, seed=3, max_n=24):
+    from hierdiff_tpu.sampling.lattice import MoleculeLattice
+
+    rng = np.random.default_rng(seed)
+    sizes = np.concatenate([[1, 2], rng.integers(3, max_n, m - 2)]).astype(int)
+    lattices = {}
+    for i, n in enumerate(sizes):
+        lp = -rng.random((n, k)).astype(np.float32)
+        lp.sort(axis=1)
+        lp = lp[:, ::-1].copy()
+        mask = rng.random((n, k)) < 0.15   # restricted-support holes
+        mask[:, 0] = False
+        lp[mask] = -1e9
+        lattices[i] = MoleculeLattice(
+            focal=np.maximum(0, np.arange(n) - 1).astype(np.int32),
+            target=np.arange(n).astype(np.int32),
+            attach=np.arange(n) > 0,
+            top_wid=rng.integers(0, 780, (n, k)).astype(np.int64),
+            top_logp=lp)
+    return lattices, sizes
+
+
+@pytest.mark.skipif(not runtime.treekit_available(), reason="no native lib")
+def test_native_beam_search_bit_exact_vs_python():
+    """tk_beam_search_lattice == PQBeamSearch bit-for-bit: wids, logp (to
+    the last IEEE bit — same double accumulation order), ok flags, AND the
+    Mersenne tiebreak stream (both rngs land in the identical state)."""
+    import random
+
+    from hierdiff_tpu.sampling.beam import PQBeamSearch, TreeState
+    from hierdiff_tpu.sampling.lattice import LatticeExpander
+
+    lattices, sizes = _random_lattices(60)
+    states = [TreeState(feats=np.zeros((int(n), 8), np.float32),
+                        pos=np.zeros((int(n), 3), np.float32),
+                        adj=np.zeros((int(n), int(n)), np.float32),
+                        wids=np.full(int(n), -1, np.int64), index=i)
+              for i, n in enumerate(sizes)]
+    r_py = random.Random(2022)
+    res_py = PQBeamSearch(LatticeExpander(lattices), beam_size=5,
+                          rng=r_py).run(states)
+    r_nat = random.Random(2022)
+    wids, ok, logp = runtime.beam_search_lattice_native(lattices, sizes, 5, r_nat)
+    for i in range(len(sizes)):
+        if res_py[i] is None:
+            assert not ok[i]
+            continue
+        assert ok[i]
+        np.testing.assert_array_equal(res_py[i].wids, wids[i])
+        assert res_py[i].logp == logp[i]           # exact, not approx
+    assert r_py.getstate() == r_nat.getstate()
+
+
+@pytest.mark.skipif(not runtime.treekit_available(), reason="no native lib")
+def test_lattice_sampler_native_matches_python_path():
+    """LatticeSampler with native_search on/off returns identical trees
+    (wids, adj, logp) through the full sample() entry point."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    from hierdiff_tpu.data.denoise import make_denoise_batch
+    from hierdiff_tpu.models.edge_denoise import EdgeDenoise
+    from hierdiff_tpu.sampling.lattice import LatticeSampler
+
+    gen = SyntheticTreeGenerator(seed=0)
+    model = EdgeDenoise(hidden_nf=32, n_layers_full=1, n_layers_focal=1)
+    dummy = {k: jnp.asarray(v) for k, v in
+             make_denoise_batch(gen.sample_trees(2, n=6),
+                                random.Random(0), max_n=8).items()}
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    blur = [{"x": t.pos, "h": t.feats} for t in gen.sample_trees(5, n=6)]
+    res_nat = LatticeSampler(model, params, beam_size=3,
+                             rng=random.Random(7)).sample(blur)
+    res_py = LatticeSampler(model, params, beam_size=3, rng=random.Random(7),
+                            native_search=False).sample(blur)
+    for a, b in zip(res_nat, res_py):
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(a.wids, b.wids)
+        np.testing.assert_array_equal(a.adj, b.adj)
+        assert a.logp == b.logp
+        assert a.last_edge == b.last_edge
