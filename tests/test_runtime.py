@@ -198,3 +198,39 @@ def test_lattice_sampler_native_matches_python_path():
         np.testing.assert_array_equal(a.adj, b.adj)
         assert a.logp == b.logp
         assert a.last_edge == b.last_edge
+
+
+@pytest.mark.skipif(not runtime.treekit_available(), reason="no native lib")
+def test_native_beam_search_dead_end_parity():
+    """A step whose candidates are ALL outside the restricted support
+    dead-ends every branch: both implementations must fail that molecule
+    identically (None/ok=0), keep succeeding on the others, and consume
+    the same rng draws."""
+    import random
+
+    from hierdiff_tpu.sampling.beam import PQBeamSearch, TreeState
+    from hierdiff_tpu.sampling.lattice import LatticeExpander
+
+    lattices, sizes = _random_lattices(12, seed=9)
+    # kill molecule 5 at its middle step
+    lat = lattices[5]
+    lat.top_logp[lat.top_logp.shape[0] // 2, :] = -1e9
+    states = [TreeState(feats=np.zeros((int(n), 8), np.float32),
+                        pos=np.zeros((int(n), 3), np.float32),
+                        adj=np.zeros((int(n), int(n)), np.float32),
+                        wids=np.full(int(n), -1, np.int64), index=i)
+              for i, n in enumerate(sizes)]
+    r_py = random.Random(11)
+    res_py = PQBeamSearch(LatticeExpander(lattices), beam_size=5,
+                          rng=r_py).run(states)
+    r_nat = random.Random(11)
+    wids, ok, logp = runtime.beam_search_lattice_native(lattices, sizes, 5, r_nat)
+    assert res_py[5] is None and not ok[5]
+    for i in range(len(sizes)):
+        if res_py[i] is None:
+            assert not ok[i]
+            continue
+        assert ok[i]
+        np.testing.assert_array_equal(res_py[i].wids, wids[i])
+        assert res_py[i].logp == logp[i]
+    assert r_py.getstate() == r_nat.getstate()
