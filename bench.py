@@ -172,6 +172,10 @@ def _synthetic_gate(reject_frac: float):
     the reference's actual cost driver (ar_sampling_nosize.py:199-200)."""
     import zlib
 
+    def verdict(wid: int, neis: tuple) -> bool:
+        h = zlib.crc32(repr((int(wid), tuple(neis))).encode()) / 0xFFFFFFFF
+        return h >= reject_frac
+
     def gate(state, i: int) -> bool:
         wid = int(state.wids[i])
         if wid < 0:
@@ -181,9 +185,9 @@ def _synthetic_gate(reject_frac: float):
                             if j != i and int(state.wids[j]) >= 0))
         if not neis:
             return True
-        h = zlib.crc32(repr((wid, neis)).encode()) / 0xFFFFFFFF
-        return h >= reject_frac
+        return verdict(wid, neis)
 
+    gate.verdict = verdict  # native beam search fast path
     return gate
 
 

@@ -47,4 +47,8 @@ def make_assembly_gate(vocab, max_cache: int = 200_000):
         return _verdict(wid, neis)
 
     gate.cache_info = _verdict.cache_info  # type: ignore[attr-defined]
+    # raw (wid, sorted_neighbor_wids) verdict: lets the native beam search
+    # (runtime.beam_search_lattice_native) gather neighbors in C++ and call
+    # back only for the lru-cached verdict
+    gate.verdict = _verdict  # type: ignore[attr-defined]
     return gate

@@ -21,6 +21,10 @@ _tried = False
 
 _i8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+# verdict callback for the gated native beam search:
+# (wid, neighbor-wid ptr, count) -> 0/1
+_GATE_CB = ctypes.CFUNCTYPE(ctypes.c_int32, ctypes.c_int64,
+                            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32)
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -73,6 +77,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         _i32p, _i64p, _i32p, _i32p, _i8p, _i64p, _f32p,
         _u32p, ctypes.POINTER(ctypes.c_int32), _i64p, _i8p, _f64p]
+
+    lib.tk_beam_search_lattice_gated.restype = None
+    lib.tk_beam_search_lattice_gated.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        _i32p, _i64p, _i32p, _i32p, _i8p, _i64p, _f32p,
+        _u32p, ctypes.POINTER(ctypes.c_int32), _GATE_CB, ctypes.c_int32,
+        _i64p, _i8p, _f64p]
 
     _lib = lib
     return lib
@@ -186,7 +197,8 @@ def pack_ar_fleet_native(states, max_n: int, undiscovered_token: int = 780):
 
 
 def beam_search_lattice_native(lattices, sizes, beam_size: int, rng,
-                               max_expansions_factor: int = 40):
+                               max_expansions_factor: int = 40,
+                               verdict=None, retry_final_gate: bool = True):
     """Native PQ beam search over precomputed lattices (the ungated,
     no-refine-hook fast path of sampling.beam.PQBeamSearch +
     sampling.lattice.LatticeExpander).
@@ -200,6 +212,11 @@ def beam_search_lattice_native(lattices, sizes, beam_size: int, rng,
     lattices: {index: MoleculeLattice}; sizes: per-molecule node counts in
     index order. Returns (wids (M, padded to max n) int64 with -1 rows
     beyond n or on failure, ok (M,) bool, logp (M,) float64).
+
+    ``verdict(wid, sorted_neighbor_wids_tuple) -> bool`` enables the gated
+    variant: per-candidate focal gate + final all-nodes gate, semantics of
+    chem.assemble_gate (the search gathers/sorts typed neighbors natively
+    and calls back only for the verdict, which stays lru-cached in Python).
     """
     lib = _load()
     assert lib is not None
@@ -229,11 +246,24 @@ def beam_search_lattice_native(lattices, sizes, beam_size: int, rng,
     out_wids = np.full(total, -1, np.int64)
     ok = np.zeros(m, np.uint8)
     logp = np.zeros(m, np.float64)
-    lib.tk_beam_search_lattice(
-        m, k, beam_size, max_expansions_factor, sizes32, offsets,
-        focal, target, attach,
-        np.ascontiguousarray(top_wid), np.ascontiguousarray(top_logp),
-        mt, ctypes.byref(pos), out_wids, ok, logp)
+    if verdict is None:
+        lib.tk_beam_search_lattice(
+            m, k, beam_size, max_expansions_factor, sizes32, offsets,
+            focal, target, attach,
+            np.ascontiguousarray(top_wid), np.ascontiguousarray(top_logp),
+            mt, ctypes.byref(pos), out_wids, ok, logp)
+    else:
+        @_GATE_CB
+        def _cb(wid, neis, n_nei):
+            return 1 if verdict(int(wid),
+                                tuple(neis[i] for i in range(n_nei))) else 0
+
+        lib.tk_beam_search_lattice_gated(
+            m, k, beam_size, max_expansions_factor, sizes32, offsets,
+            focal, target, attach,
+            np.ascontiguousarray(top_wid), np.ascontiguousarray(top_logp),
+            mt, ctypes.byref(pos), _cb, 1 if retry_final_gate else 0,
+            out_wids, ok, logp)
     rng.setstate((version, tuple(int(v) for v in mt) + (int(pos.value),), gauss))
     return ([out_wids[int(offsets[i]): int(offsets[i]) + int(sizes32[i])]
              for i in range(m)], ok.astype(bool), logp)

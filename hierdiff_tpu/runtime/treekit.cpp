@@ -286,29 +286,57 @@ inline bool entry_less(const BeamEntry& a, const BeamEntry& b) {
   return a.logp != b.logp ? a.logp < b.logp : a.push < b.push;
 }
 
-}  // namespace
+// Assembly-gate verdict callback (chem/assemble_gate.py _verdict): the
+// verdict depends ONLY on (wid, sorted typed-neighbor wids) — topology is
+// lattice-fixed, so the search gathers neighbors natively and calls back
+// into the Python lru-cached verdict per (node, neighborhood) check.
+typedef int32_t (*GateCB)(int64_t wid, const int64_t* neis, int32_t n_nei);
 
-extern "C" {
+// Materialize a state's per-node wids (-1 = untyped) by walking its chain.
+inline void chain_wids(const std::vector<ChainNode>& arena, int64_t chain,
+                       const int32_t* target, int64_t off,
+                       std::vector<int64_t>& wids_node) {
+  std::fill(wids_node.begin(), wids_node.end(), (int64_t)-1);
+  for (int64_t c = chain; c >= 0; c = arena[c].parent)
+    wids_node[target[off + arena[c].step]] = arena[c].wid;
+}
 
-// Inputs are flattened over molecules (node offsets in `offsets`):
-//   focal/target/attach: per-step lattice trajectory (length n per molecule)
-//   top_wid/top_logp:    (n, K) per molecule, best-first
-// mt_state (624 u32) + mt_pos: CPython Random internal state, updated.
-// Outputs: out_wids (-1 where unfinished), out_ok, out_logp.
-void tk_beam_search_lattice(
+// gate(state, node): sorted typed neighbors of `node` among edges whose
+// step < t; trivial pass when none (assemble_gate.py:38-47).
+inline bool gate_node(GateCB gate, const std::vector<int64_t>& wids_node,
+                      const int32_t* focal, const int32_t* target,
+                      const uint8_t* attach, int64_t off, int32_t t,
+                      int32_t node, std::vector<int64_t>& scratch) {
+  int64_t w = wids_node[node];
+  if (w < 0) return true;
+  scratch.clear();
+  for (int32_t s = 0; s < t; ++s) {
+    if (!attach[off + s]) continue;   // step 0 is normally the root-typing step
+    int32_t a = focal[off + s], b = target[off + s];
+    int32_t other = a == node ? b : (b == node ? a : -1);
+    if (other >= 0 && wids_node[other] >= 0)
+      scratch.push_back(wids_node[other]);
+  }
+  if (scratch.empty()) return true;
+  std::sort(scratch.begin(), scratch.end());
+  return gate(w, scratch.data(), (int32_t)scratch.size()) != 0;
+}
+
+void beam_search_impl(
     int32_t n_mol, int32_t k, int32_t beam_size, int32_t max_exp_factor,
     const int32_t* sizes, const int64_t* offsets,
     const int32_t* focal, const int32_t* target, const uint8_t* attach,
     const int64_t* top_wid, const float* top_logp,
     uint32_t* mt_state, int32_t* mt_pos,
+    GateCB gate, int32_t retry_final_gate,
     int64_t* out_wids, uint8_t* out_ok, double* out_logp) {
-  (void)focal;
   PyMT rng{mt_state, *mt_pos};
   std::vector<ChainNode> arena;
   std::vector<std::vector<BeamEntry>> heaps(n_mol);
   std::vector<int64_t> budget(n_mol);
   std::vector<uint8_t> finished(n_mol, 0);
   std::vector<BeamEntry> best(n_mol);
+  std::vector<int64_t> wids_node, scratch;
   uint64_t push_count = 0;
 
   for (int m = 0; m < n_mol; ++m) {
@@ -332,24 +360,49 @@ void tk_beam_search_lattice(
       heaps[m].erase(heaps[m].begin() + mi);
 
       const int n = sizes[m];
-      if (e.t >= n) {            // completed: accept on pop (no gate here)
-        finished[m] = 1;
-        best[m] = e;
-        out_ok[m] = 1;
-        out_logp[m] = e.logp;
-        heaps[m].clear();        // purge (remove_queue_dup keep=0)
+      const int64_t off = offsets[m];
+      if (e.t >= n) {            // completed: accept on pop if final gate ok
+        bool accept = true;
+        if (gate) {
+          wids_node.assign(n, -1);
+          chain_wids(arena, e.chain, target, off, wids_node);
+          for (int32_t i = 0; i < n && accept; ++i)
+            accept = gate_node(gate, wids_node, focal, target, attach, off,
+                               e.t, i, scratch);
+        }
+        if (accept) {
+          finished[m] = 1;
+          best[m] = e;
+          out_ok[m] = 1;
+          out_logp[m] = e.logp;
+          heaps[m].clear();      // purge (remove_queue_dup keep=0)
+        } else if (!retry_final_gate) {
+          budget[m] = 0;         // reference: molecule yields nothing
+        }
         continue;
       }
 
       // expand: push up to beam_size candidates of step e.t
       budget[m] -= 1;
-      const int64_t off = offsets[m];
       const int64_t row = (off + e.t) * k;
       const int kk = beam_size < k ? beam_size : k;
       const uint8_t att = attach[off + e.t];
+      if (gate && att) {
+        wids_node.assign(n, -1);
+        chain_wids(arena, e.chain, target, off, wids_node);
+      }
       for (int c = 0; c < kk; ++c) {
         double lp = (double)top_logp[row + c];
         if (lp < -1e8) continue;             // outside restricted support
+        if (gate && att) {
+          // per-candidate gate on the focal node of the CHILD
+          // (beam.py:222-224 — checked BEFORE the rng tiebreak draw)
+          wids_node[target[off + e.t]] = top_wid[row + c];
+          bool ok = gate_node(gate, wids_node, focal, target, attach, off,
+                              e.t + 1, focal[off + e.t], scratch);
+          wids_node[target[off + e.t]] = -1;
+          if (!ok) continue;
+        }
         double child_logp = e.logp + (-lp) + 1e-8 * rng.res53();
         arena.push_back(ChainNode{e.chain, e.t, top_wid[row + c]});
         heaps[m].push_back(BeamEntry{child_logp, ++push_count, e.t + 1,
@@ -383,6 +436,44 @@ void tk_beam_search_lattice(
       out_wids[off + target[off + arena[c].step]] = arena[c].wid;
   }
   *mt_pos = rng.idx;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Inputs are flattened over molecules (node offsets in `offsets`):
+//   focal/target/attach: per-step lattice trajectory (length n per molecule)
+//   top_wid/top_logp:    (n, K) per molecule, best-first
+// mt_state (624 u32) + mt_pos: CPython Random internal state, updated.
+// Outputs: out_wids (-1 where unfinished), out_ok, out_logp.
+void tk_beam_search_lattice(
+    int32_t n_mol, int32_t k, int32_t beam_size, int32_t max_exp_factor,
+    const int32_t* sizes, const int64_t* offsets,
+    const int32_t* focal, const int32_t* target, const uint8_t* attach,
+    const int64_t* top_wid, const float* top_logp,
+    uint32_t* mt_state, int32_t* mt_pos,
+    int64_t* out_wids, uint8_t* out_ok, double* out_logp) {
+  beam_search_impl(n_mol, k, beam_size, max_exp_factor, sizes, offsets,
+                   focal, target, attach, top_wid, top_logp, mt_state,
+                   mt_pos, nullptr, 1, out_wids, out_ok, out_logp);
+}
+
+// Gated variant: per-candidate focal gate + final all-nodes gate via the
+// verdict callback (assembly feasibility depends only on the node wid and
+// its sorted typed-neighbor wids — chem/assemble_gate.py).
+void tk_beam_search_lattice_gated(
+    int32_t n_mol, int32_t k, int32_t beam_size, int32_t max_exp_factor,
+    const int32_t* sizes, const int64_t* offsets,
+    const int32_t* focal, const int32_t* target, const uint8_t* attach,
+    const int64_t* top_wid, const float* top_logp,
+    uint32_t* mt_state, int32_t* mt_pos,
+    GateCB gate, int32_t retry_final_gate,
+    int64_t* out_wids, uint8_t* out_ok, double* out_logp) {
+  beam_search_impl(n_mol, k, beam_size, max_exp_factor, sizes, offsets,
+                   focal, target, attach, top_wid, top_logp, mt_state,
+                   mt_pos, gate, retry_final_gate, out_wids, out_ok,
+                   out_logp);
 }
 
 }  // extern "C"

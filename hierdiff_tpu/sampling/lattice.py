@@ -271,8 +271,9 @@ class LatticeSampler:
         if not blur_sets:
             return []
         lattices = self.compute_lattices(blur_sets)
-        if (self.can_assemble is None and self.refine_hook is None
-                and self.native_search):
+        if (self.refine_hook is None and self.native_search
+                and (self.can_assemble is None
+                     or hasattr(self.can_assemble, "verdict"))):
             from hierdiff_tpu import runtime
             if runtime.treekit_available():
                 return self._sample_native(blur_sets, lattices)
@@ -292,7 +293,7 @@ class LatticeSampler:
         return search.run(init)
 
     def _sample_native(self, blur_sets, lattices) -> List[Optional[TreeState]]:
-        """Ungated/no-hook fast path: the whole PQ search in C++
+        """No-refine-hook fast path: the whole PQ search in C++
         (runtime/treekit.cpp tk_beam_search_lattice) — BIT-EXACT with the
         Python search including the rng tiebreak stream (the caller rng's
         Mersenne state is continued and written back; parity pinned in
@@ -303,8 +304,10 @@ class LatticeSampler:
 
         sizes = [jt["h"].shape[0] for jt in blur_sets]
         rng = self.rng if self.rng is not None else _random.Random(2022)
+        verdict = getattr(self.can_assemble, "verdict", None)
         wids, ok, logp = runtime.beam_search_lattice_native(
-            lattices, sizes, self.beam_size, rng)
+            lattices, sizes, self.beam_size, rng, verdict=verdict,
+            retry_final_gate=self.retry_final_gate)
         out: List[Optional[TreeState]] = []
         for i, jt in enumerate(blur_sets):
             if not ok[i]:

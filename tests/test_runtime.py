@@ -234,3 +234,55 @@ def test_native_beam_search_dead_end_parity():
         np.testing.assert_array_equal(res_py[i].wids, wids[i])
         assert res_py[i].logp == logp[i]
     assert r_py.getstate() == r_nat.getstate()
+
+
+@pytest.mark.skipif(not runtime.treekit_available(), reason="no native lib")
+@pytest.mark.parametrize("retry", [True, False])
+def test_native_gated_beam_search_bit_exact(retry):
+    """The gated native search (verdict callback) == the Python search with
+    the equivalent can_assemble gate: same accepted/failed molecules, same
+    wids/logp to the bit, same rng stream — under 25% rejection, both
+    retry_final_gate modes."""
+    import random
+    import zlib
+
+    from hierdiff_tpu.sampling.beam import PQBeamSearch, TreeState
+    from hierdiff_tpu.sampling.lattice import LatticeExpander
+
+    lattices, sizes = _random_lattices(80, seed=5)
+
+    def verdict(wid, neis):
+        h = zlib.crc32(repr((int(wid), tuple(neis))).encode()) / 0xFFFFFFFF
+        return h >= 0.25
+
+    def gate(state, i):
+        wid = int(state.wids[i])
+        if wid < 0:
+            return True
+        row = np.nonzero(state.adj[i])[0]
+        neis = tuple(sorted(int(state.wids[j]) for j in row
+                            if j != i and int(state.wids[j]) >= 0))
+        return True if not neis else verdict(wid, neis)
+
+    states = [TreeState(feats=np.zeros((int(n), 8), np.float32),
+                        pos=np.zeros((int(n), 3), np.float32),
+                        adj=np.zeros((int(n), int(n)), np.float32),
+                        wids=np.full(int(n), -1, np.int64), index=i)
+              for i, n in enumerate(sizes)]
+    r_py = random.Random(2022)
+    res_py = PQBeamSearch(LatticeExpander(lattices), beam_size=5, rng=r_py,
+                          can_assemble=gate,
+                          retry_final_gate=retry).run(states)
+    r_nat = random.Random(2022)
+    wids, ok, logp = runtime.beam_search_lattice_native(
+        lattices, sizes, 5, r_nat, verdict=verdict, retry_final_gate=retry)
+    n_fail = sum(r is None for r in res_py)
+    assert n_fail > 0, "rejection rate too low to exercise the gate"
+    for i in range(len(sizes)):
+        if res_py[i] is None:
+            assert not ok[i]
+            continue
+        assert ok[i]
+        np.testing.assert_array_equal(res_py[i].wids, wids[i])
+        assert res_py[i].logp == logp[i]
+    assert r_py.getstate() == r_nat.getstate()
