@@ -19,6 +19,8 @@
 #include <cstdint>
 #include <cstring>
 #include <random>
+#include <unordered_map>
+#include <utility>
 #include <vector>
 
 extern "C" {
@@ -301,15 +303,32 @@ inline void chain_wids(const std::vector<ChainNode>& arena, int64_t chain,
     wids_node[target[off + arena[c].step]] = arena[c].wid;
 }
 
+// Per-search memo over (wid, sorted neighbor wids) -> verdict: the verdict
+// is a pure function of the key (assemble_gate.py), so repeat keys never
+// cross the ctypes callback boundary (a Python callback costs ~3us; real
+// chemistry has a small key space, so most checks become native hits).
+struct GateMemo {
+  std::unordered_map<uint64_t, std::vector<std::pair<std::vector<int64_t>, bool>>> map;
+  static uint64_t hash_key(int64_t w, const std::vector<int64_t>& neis) {
+    uint64_t h = 1469598103934665603ull ^ (uint64_t)w;
+    for (int64_t v : neis) {
+      h ^= (uint64_t)v + 0x9e3779b97f4a7c15ull + (h << 6) + (h >> 2);
+    }
+    return h;
+  }
+};
+
 // gate(state, node): sorted typed neighbors of `node` among edges whose
 // step < t; trivial pass when none (assemble_gate.py:38-47).
-inline bool gate_node(GateCB gate, const std::vector<int64_t>& wids_node,
+inline bool gate_node(GateCB gate, GateMemo& memo,
+                      const std::vector<int64_t>& wids_node,
                       const int32_t* focal, const int32_t* target,
                       const uint8_t* attach, int64_t off, int32_t t,
                       int32_t node, std::vector<int64_t>& scratch) {
   int64_t w = wids_node[node];
   if (w < 0) return true;
   scratch.clear();
+  scratch.push_back(w);   // key = (wid, neighbors); wid leads the vector
   for (int32_t s = 0; s < t; ++s) {
     if (!attach[off + s]) continue;   // step 0 is normally the root-typing step
     int32_t a = focal[off + s], b = target[off + s];
@@ -317,9 +336,15 @@ inline bool gate_node(GateCB gate, const std::vector<int64_t>& wids_node,
     if (other >= 0 && wids_node[other] >= 0)
       scratch.push_back(wids_node[other]);
   }
-  if (scratch.empty()) return true;
-  std::sort(scratch.begin(), scratch.end());
-  return gate(w, scratch.data(), (int32_t)scratch.size()) != 0;
+  if (scratch.size() == 1) return true;
+  std::sort(scratch.begin() + 1, scratch.end());
+  uint64_t h = GateMemo::hash_key(w, scratch);
+  auto& bucket = memo.map[h];
+  for (const auto& kv : bucket)
+    if (kv.first == scratch) return kv.second;
+  bool ok = gate(w, scratch.data() + 1, (int32_t)scratch.size() - 1) != 0;
+  bucket.emplace_back(scratch, ok);
+  return ok;
 }
 
 void beam_search_impl(
@@ -337,6 +362,7 @@ void beam_search_impl(
   std::vector<uint8_t> finished(n_mol, 0);
   std::vector<BeamEntry> best(n_mol);
   std::vector<int64_t> wids_node, scratch;
+  GateMemo memo;
   uint64_t push_count = 0;
 
   for (int m = 0; m < n_mol; ++m) {
@@ -367,8 +393,8 @@ void beam_search_impl(
           wids_node.assign(n, -1);
           chain_wids(arena, e.chain, target, off, wids_node);
           for (int32_t i = 0; i < n && accept; ++i)
-            accept = gate_node(gate, wids_node, focal, target, attach, off,
-                               e.t, i, scratch);
+            accept = gate_node(gate, memo, wids_node, focal, target, attach,
+                               off, e.t, i, scratch);
         }
         if (accept) {
           finished[m] = 1;
@@ -398,8 +424,8 @@ void beam_search_impl(
           // per-candidate gate on the focal node of the CHILD
           // (beam.py:222-224 — checked BEFORE the rng tiebreak draw)
           wids_node[target[off + e.t]] = top_wid[row + c];
-          bool ok = gate_node(gate, wids_node, focal, target, attach, off,
-                              e.t + 1, focal[off + e.t], scratch);
+          bool ok = gate_node(gate, memo, wids_node, focal, target, attach,
+                              off, e.t + 1, focal[off + e.t], scratch);
           wids_node[target[off + e.t]] = -1;
           if (!ok) continue;
         }
