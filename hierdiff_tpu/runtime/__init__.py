@@ -224,21 +224,19 @@ def beam_search_lattice_native(lattices, sizes, beam_size: int, rng,
     sizes32 = np.asarray(sizes, np.int32)
     offsets = np.zeros(m, np.int64)
     offsets[1:] = np.cumsum(sizes32[:-1])
-    total = int(sizes32.sum())
     k = lattices[0].top_wid.shape[1]
-    focal = np.empty(total, np.int32)
-    target = np.empty(total, np.int32)
-    attach = np.empty(total, np.uint8)
-    top_wid = np.empty((total, k), np.int64)
-    top_logp = np.empty((total, k), np.float32)
-    for i in range(m):
-        o, n = int(offsets[i]), int(sizes32[i])
-        lat = lattices[i]
-        focal[o:o + n] = lat.focal[:n]
-        target[o:o + n] = lat.target[:n]
-        attach[o:o + n] = lat.attach[:n]
-        top_wid[o:o + n] = lat.top_wid[:n]
-        top_logp[o:o + n] = lat.top_logp[:n]
+    trim = [(lattices[i], int(sizes32[i])) for i in range(m)]
+    focal = np.ascontiguousarray(
+        np.concatenate([l.focal[:n] for l, n in trim]), np.int32)
+    target = np.ascontiguousarray(
+        np.concatenate([l.target[:n] for l, n in trim]), np.int32)
+    attach = np.ascontiguousarray(
+        np.concatenate([l.attach[:n] for l, n in trim]), np.uint8)
+    top_wid = np.ascontiguousarray(
+        np.concatenate([l.top_wid[:n] for l, n in trim]), np.int64)
+    top_logp = np.ascontiguousarray(
+        np.concatenate([l.top_logp[:n] for l, n in trim]), np.float32)
+    total = int(sizes32.sum())
 
     version, state, gauss = rng.getstate()
     mt = np.asarray(state[:624], np.uint32)
