@@ -210,8 +210,8 @@ def beam_search_lattice_native(lattices, sizes, beam_size: int, rng,
     on one rng gives identical draws (pinned in tests/test_runtime.py).
 
     lattices: {index: MoleculeLattice}; sizes: per-molecule node counts in
-    index order. Returns (wids (M, padded to max n) int64 with -1 rows
-    beyond n or on failure, ok (M,) bool, logp (M,) float64).
+    index order. Returns (wids: list of M per-molecule int64 arrays of
+    length n_i, -1-filled on failure; ok (M,) bool; logp (M,) float64).
 
     ``verdict(wid, sorted_neighbor_wids_tuple) -> bool`` enables the gated
     variant: per-candidate focal gate + final all-nodes gate, semantics of
@@ -251,10 +251,22 @@ def beam_search_lattice_native(lattices, sizes, beam_size: int, rng,
             np.ascontiguousarray(top_wid), np.ascontiguousarray(top_logp),
             mt, ctypes.byref(pos), out_wids, ok, logp)
     else:
+        # ctypes swallows callback exceptions and returns an undefined int —
+        # which would silently corrupt the search (and poison the native
+        # memo). Stash the first exception, fail the gate, and re-raise
+        # after the native call returns.
+        cb_error: list = []
+
         @_GATE_CB
         def _cb(wid, neis, n_nei):
-            return 1 if verdict(int(wid),
-                                tuple(neis[i] for i in range(n_nei))) else 0
+            if cb_error:
+                return 0
+            try:
+                return 1 if verdict(int(wid),
+                                    tuple(neis[i] for i in range(n_nei))) else 0
+            except BaseException as e:   # noqa: BLE001 — re-raised below
+                cb_error.append(e)
+                return 0
 
         lib.tk_beam_search_lattice_gated(
             m, k, beam_size, max_expansions_factor, sizes32, offsets,
@@ -262,6 +274,8 @@ def beam_search_lattice_native(lattices, sizes, beam_size: int, rng,
             np.ascontiguousarray(top_wid), np.ascontiguousarray(top_logp),
             mt, ctypes.byref(pos), _cb, 1 if retry_final_gate else 0,
             out_wids, ok, logp)
+        if cb_error:
+            raise cb_error[0]
     rng.setstate((version, tuple(int(v) for v in mt) + (int(pos.value),), gauss))
     return ([out_wids[int(offsets[i]): int(offsets[i]) + int(sizes32[i])]
              for i in range(m)], ok.astype(bool), logp)

@@ -279,9 +279,9 @@ struct BeamEntry {
 };
 
 struct ChainNode {
-  int64_t parent;
+  int32_t parent;   // index into the molecule's own arena, -1 = chain end
   int32_t step;
-  int64_t wid;
+  int32_t wid;      // vocab ids are < 2^31
 };
 
 inline bool entry_less(const BeamEntry& a, const BeamEntry& b) {
@@ -356,14 +356,20 @@ void beam_search_impl(
     GateCB gate, int32_t retry_final_gate,
     int64_t* out_wids, uint8_t* out_ok, double* out_logp) {
   PyMT rng{mt_state, *mt_pos};
-  std::vector<ChainNode> arena;
+  // per-molecule chain arenas: freed as soon as the molecule finishes or
+  // dies, so peak memory tracks the ACTIVE frontier instead of every
+  // candidate ever pushed (the Python search refcount-frees pruned states)
+  std::vector<std::vector<ChainNode>> arenas(n_mol);
   std::vector<std::vector<BeamEntry>> heaps(n_mol);
   std::vector<int64_t> budget(n_mol);
   std::vector<uint8_t> finished(n_mol, 0);
-  std::vector<BeamEntry> best(n_mol);
   std::vector<int64_t> wids_node, scratch;
   GateMemo memo;
   uint64_t push_count = 0;
+  auto free_mol = [&](int m) {
+    std::vector<ChainNode>().swap(arenas[m]);
+    std::vector<BeamEntry>().swap(heaps[m]);
+  };
 
   for (int m = 0; m < n_mol; ++m) {
     heaps[m].push_back(BeamEntry{0.0, ++push_count, 0, -1, 1});
@@ -376,7 +382,10 @@ void beam_search_impl(
   while (any) {
     any = false;
     for (int m = 0; m < n_mol; ++m) {
-      if (finished[m] || heaps[m].empty() || budget[m] <= 0) continue;
+      if (finished[m] || heaps[m].empty() || budget[m] <= 0) {
+        if (!arenas[m].empty() || !heaps[m].empty()) free_mol(m);
+        continue;
+      }
       any = true;
       // pop the cheapest entry (vector-min: heaps are <= beam+roots long)
       size_t mi = 0;
@@ -391,17 +400,18 @@ void beam_search_impl(
         bool accept = true;
         if (gate) {
           wids_node.assign(n, -1);
-          chain_wids(arena, e.chain, target, off, wids_node);
+          chain_wids(arenas[m], e.chain, target, off, wids_node);
           for (int32_t i = 0; i < n && accept; ++i)
             accept = gate_node(gate, memo, wids_node, focal, target, attach,
                                off, e.t, i, scratch);
         }
         if (accept) {
           finished[m] = 1;
-          best[m] = e;
           out_ok[m] = 1;
           out_logp[m] = e.logp;
-          heaps[m].clear();      // purge (remove_queue_dup keep=0)
+          for (int64_t c = e.chain; c >= 0; c = arenas[m][c].parent)
+            out_wids[off + target[off + arenas[m][c].step]] = arenas[m][c].wid;
+          free_mol(m);           // purge (remove_queue_dup keep=0) + arena
         } else if (!retry_final_gate) {
           budget[m] = 0;         // reference: molecule yields nothing
         }
@@ -415,7 +425,7 @@ void beam_search_impl(
       const uint8_t att = attach[off + e.t];
       if (gate && att) {
         wids_node.assign(n, -1);
-        chain_wids(arena, e.chain, target, off, wids_node);
+        chain_wids(arenas[m], e.chain, target, off, wids_node);
       }
       for (int c = 0; c < kk; ++c) {
         double lp = (double)top_logp[row + c];
@@ -430,9 +440,10 @@ void beam_search_impl(
           if (!ok) continue;
         }
         double child_logp = e.logp + (-lp) + 1e-8 * rng.res53();
-        arena.push_back(ChainNode{e.chain, e.t, top_wid[row + c]});
+        arenas[m].push_back(ChainNode{(int32_t)e.chain, e.t,
+                                      (int32_t)top_wid[row + c]});
         heaps[m].push_back(BeamEntry{child_logp, ++push_count, e.t + 1,
-                                     (int64_t)arena.size() - 1,
+                                     (int64_t)arenas[m].size() - 1,
                                      (uint8_t)(att ? 0 : 1)});
       }
       // prune (beam.py _prune): keep ALL root-step entries + the
@@ -455,12 +466,6 @@ void beam_search_impl(
     }
   }
 
-  for (int m = 0; m < n_mol; ++m) {
-    if (!out_ok[m]) continue;
-    const int64_t off = offsets[m];
-    for (int64_t c = best[m].chain; c >= 0; c = arena[c].parent)
-      out_wids[off + target[off + arena[c].step]] = arena[c].wid;
-  }
   *mt_pos = rng.idx;
 }
 

@@ -322,7 +322,7 @@ class LatticeSampler:
                     f, tg = int(lat.focal[t]), int(lat.target[t])
                     adj[f, tg] = adj[tg, f] = 1.0
                     last_edge = (f, tg)
-            if last_edge is None:
+            if last_edge is None and n > 0:
                 adj[0, 0] = 1.0     # n==1: the root marker is never cleared
             out.append(TreeState(
                 feats=np.asarray(jt["h"], np.float32),

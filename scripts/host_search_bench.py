@@ -17,8 +17,6 @@ import argparse
 import json
 import random
 import time
-import zlib
-from functools import lru_cache
 
 import numpy as np
 
@@ -48,26 +46,11 @@ def make_lattices(n_mol: int, k: int = 5, n_wids: int = 60, seed: int = 0):
 
 
 def make_gate(reject: float):
-    """(gate(state, i), verdict) pair with bench.py's synthetic semantics."""
+    """bench.py's synthetic gate (single source of the hash semantics)."""
+    from bench import _synthetic_gate
 
-    @lru_cache(maxsize=200_000)
-    def _verdict(wid, neis):
-        h = zlib.crc32(repr((wid, neis)).encode()) / 0xFFFFFFFF
-        return h >= reject
-
-    def verdict(wid, neis):
-        return _verdict(int(wid), tuple(neis))
-
-    def gate(state, i):
-        wid = int(state.wids[i])
-        if wid < 0:
-            return True
-        row = np.nonzero(state.adj[i])[0]
-        neis = tuple(sorted(int(state.wids[j]) for j in row
-                            if j != i and int(state.wids[j]) >= 0))
-        return True if not neis else verdict(wid, neis)
-
-    return gate, verdict
+    gate = _synthetic_gate(reject)
+    return gate, gate.verdict
 
 
 def run_python(lattices, sizes, beam, gate):
@@ -100,6 +83,7 @@ def main():
     p.add_argument("--num", type=int, default=2000)
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--reject", type=float, nargs="*", default=[0.0, 0.2])
+    p.add_argument("--reps", type=int, default=3)
     args = p.parse_args()
 
     from hierdiff_tpu import runtime
@@ -109,17 +93,24 @@ def main():
 
     lattices, sizes = make_lattices(args.num)
     for reject in args.reject:
-        gate, verdict = (None, None) if reject <= 0 else make_gate(reject)
-        t_py, ok_py = run_python(lattices, sizes, args.beam, gate)
-        if reject > 0:      # fresh lru so both arms start cold
-            gate, verdict = make_gate(reject)
-        t_nat, ok_nat = run_native(lattices, sizes, args.beam, verdict)
-        assert ok_py == ok_nat, (ok_py, ok_nat)
+        # best-of-reps per CLAUDE.md: the shared host swings under
+        # contention; the fastest rep is the uncontended cost
+        t_py, t_nat = [], []
+        for _ in range(args.reps):
+            gate, verdict = (None, None) if reject <= 0 else make_gate(reject)
+            tp, ok_py = run_python(lattices, sizes, args.beam, gate)
+            if reject > 0:      # fresh gate so both arms start cold
+                gate, verdict = make_gate(reject)
+            tn, ok_nat = run_native(lattices, sizes, args.beam, verdict)
+            assert ok_py == ok_nat, (ok_py, ok_nat)
+            t_py.append(tp)
+            t_nat.append(tn)
         print(json.dumps({
             "molecules": args.num, "beam": args.beam, "reject": reject,
-            "python_s": round(t_py, 3), "native_s": round(t_nat, 4),
-            "speedup": round(t_py / t_nat, 1), "assembled": ok_nat}),
-            flush=True)
+            "reps": args.reps,
+            "python_s": round(min(t_py), 3), "native_s": round(min(t_nat), 4),
+            "speedup": round(min(t_py) / min(t_nat), 1),
+            "assembled": ok_nat}), flush=True)
 
 
 if __name__ == "__main__":

@@ -286,3 +286,21 @@ def test_native_gated_beam_search_bit_exact(retry):
         np.testing.assert_array_equal(res_py[i].wids, wids[i])
         assert res_py[i].logp == logp[i]
     assert r_py.getstate() == r_nat.getstate()
+
+
+@pytest.mark.skipif(not runtime.treekit_available(), reason="no native lib")
+def test_native_gated_search_propagates_verdict_errors():
+    """ctypes swallows callback exceptions (returning an undefined verdict)
+    — the wrapper must stash and re-raise so a failing RDKit verdict is a
+    traceback, not silently wrong molecules."""
+    import random
+
+    lattices, sizes = _random_lattices(6, seed=2)
+
+    def bad_verdict(wid, neis):
+        raise ValueError("rdkit exploded")
+
+    with pytest.raises(ValueError, match="rdkit exploded"):
+        runtime.beam_search_lattice_native(lattices, sizes, 5,
+                                           random.Random(1),
+                                           verdict=bad_verdict)
