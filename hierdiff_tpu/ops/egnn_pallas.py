@@ -21,6 +21,7 @@ keeps the XLA formulation (identical parameters).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -62,8 +63,12 @@ def _pick_tiles(b: int, n: int, h: int, elem_bytes: int = 4) -> Tuple[int, int]:
     the row chunk can double — fewer grid steps means the (N,H) dst-side
     matmul and the h_full block are not recomputed/re-read per chunk (at
     B=256/N=48 the f32 sizing forced 2 row chunks and duplicated that work,
-    measured as most of the bf16 kernel's gap to XLA)."""
-    budget = 3 * 1024 * 1024 // 2
+    measured as most of the bf16 kernel's gap to XLA).
+
+    ``HIERDIFF_PALLAS_VMEM_KB`` overrides the per-block budget (in KB) for
+    tile-size experiments on real hardware without code edits; the default
+    1536 is the validated setting."""
+    budget = int(os.environ.get("HIERDIFF_PALLAS_VMEM_KB", "1536")) * 1024
     per_row = n * h * elem_bytes
     ci = n
     tb = max(1, budget // max(ci * per_row, 1))
