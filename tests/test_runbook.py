@@ -44,6 +44,14 @@ def test_split_tool_help():
     assert r.returncode == 0, r.stderr
 
 
+def test_import_ckpt_help():
+    """RUNBOOK step 3b: reference-checkpoint importer."""
+    r = _run(["scripts/import_reference_ckpt.py", "--help"])
+    assert r.returncode == 0, r.stderr
+    for flag in ("--stage", "--set", "--out"):
+        assert flag in r.stdout
+
+
 def test_bench_help():
     r = _run(["bench.py", "--help"])
     assert r.returncode == 0, r.stderr

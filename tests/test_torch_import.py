@@ -1,0 +1,176 @@
+"""Reference-checkpoint importer conformance (utils/torch_import.py).
+
+Builds the reference torch models (same stub loader as the golden-parity
+suite), round-trips their state dicts through the key-based converter, and
+pins the result BIT-FOR-BIT against the parity suite's live-module weight
+copiers — the mapping whose forward/loss correctness
+tests/test_reference_parity_full.py proves end-to-end. Also drives the
+import CLI to a workdir and loads it back through the sampling CLI's own
+loader.
+"""
+
+import pickle
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference mount missing")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import test_reference_parity_full as tpf  # noqa: E402
+from test_reference_parity_full import ref  # noqa: E402,F401  (fixture)
+
+from hierdiff_tpu.utils.torch_import import (  # noqa: E402
+    convert_coarse, convert_denoise, convert_refine, detect_stage,
+    load_torch_checkpoint)
+
+
+def sd_np(model_t):
+    return {k: v.detach().numpy() for k, v in model_t.state_dict().items()}
+
+
+def assert_trees_equal(converted, expected, path=""):
+    assert set(converted) == set(expected), \
+        f"{path}: keys {sorted(converted)} != {sorted(expected)}"
+    for k in expected:
+        c, e = converted[k], expected[k]
+        if isinstance(e, dict):
+            assert_trees_equal(c, e, f"{path}/{k}")
+        else:
+            np.testing.assert_array_equal(np.asarray(c), np.asarray(e),
+                                          err_msg=f"{path}/{k}")
+
+
+def make_coarse(ref, T=50, H=32):
+    import yaml as pyyaml
+    dyn = tpf.AttrDict(in_node_nf=0, context_node_nf=0, n_dims=3, hidden_nf=H,
+                       n_layers=2, attention=True, condition_time=True,
+                       tanh=True, mode="egnn_dynamics", norm_constant=0,
+                       inv_sublayers=2, sin_embedding=False,
+                       normalization_factor=10, aggregation_method="sum",
+                       act_fn="silu")
+    import tempfile
+    hist = Path(tempfile.mkdtemp()) / "hist.yaml"
+    hist.write_text(pyyaml.dump({5: 10, 6: 20}))
+    cfg = tpf.AttrDict(pocket=False, node_coarse_type="prop", dynamics=dyn,
+                       loss_type="vlb", include_charges=0,
+                       noise_schedule="learned", parametrization="eps",
+                       dataset="geom", hcontinous=False, timesteps=T,
+                       norm_values=[1.0, 1.0, 1.0], norm_biases=[0, 0, 0],
+                       data_augmentation=False, analyze=str(hist))
+    torch.manual_seed(23)
+    return ref.diffusion.DiffusionQM9(cfg)
+
+
+def test_convert_coarse_matches_parity_mapping(ref):
+    model_t = make_coarse(ref)
+    params, inferred, leftovers = convert_coarse(sd_np(model_t))
+    expected = {"gamma": tpf._copy_gamma(model_t.gamma),
+                "dynamics": {"egnn": tpf.copy_full_egnn(
+                    model_t.dynamics.egnn, 32, 2, 2)}}
+    assert_trees_equal(params, expected)
+    assert inferred == {"n_layers": 2, "inv_sublayers": 2, "hidden_nf": 32,
+                        "attention": True, "noise_schedule": "learned",
+                        "in_plus_context": 8}
+    assert leftovers == set()   # 'buffer' and schedule tables are ignored
+
+
+def test_import_cli_coarse_roundtrip(ref, tmp_path):
+    """CLI -> workdir -> sampling-CLI loader -> loss forward."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import import_reference_ckpt as cli
+
+    model_t = make_coarse(ref)
+    ckpt = tmp_path / "ref.ckpt"
+    # PL wrapper layout with the 'model.' prefix consumers strip
+    torch.save({"state_dict": {"model." + k: v
+                               for k, v in model_t.state_dict().items()}},
+               ckpt)
+    wd = tmp_path / "imported"
+    assert cli.main([str(ckpt), "--out", str(wd),
+                     "--set", "coarse.timesteps=50"]) == 0
+
+    from hierdiff_tpu.sampling.cli import (build_coarse_from_cfg,
+                                           load_checkpoint_params)
+    params, cfg, step = load_checkpoint_params(str(wd))
+    assert cfg["coarse"]["hidden_nf"] == 32
+    assert cfg["coarse"]["timesteps"] == 50
+    assert cfg["coarse"]["noise_schedule"] == "learned"
+    model = build_coarse_from_cfg(cfg)
+
+    from hierdiff_tpu.sampling import make_masks_for_counts
+    rng = np.random.default_rng(0)
+    nm, em = make_masks_for_counts(np.array([5, 6]), 6)
+    batch = {"positions": jnp.asarray(rng.standard_normal((2, 6, 3)).astype(np.float32)) * nm,
+             "node_feature": jnp.asarray(rng.standard_normal((2, 6, 8)).astype(np.float32)) * nm,
+             "atom_mask": jnp.asarray(nm), "edge_mask": jnp.asarray(em)}
+    out = model.apply(params, batch, jax.random.PRNGKey(0), train=True)
+    assert np.isfinite(float(out["loss"]))
+
+    # converted params == live-module parity mapping, through the full
+    # save/restore round trip
+    expected = {"params": {"gamma": tpf._copy_gamma(model_t.gamma),
+                           "dynamics": {"egnn": tpf.copy_full_egnn(
+                               model_t.dynamics.egnn, 32, 2, 2)}}}
+    assert_trees_equal(params, expected)
+
+
+def test_convert_denoise_matches_parity_mapping(ref):
+    torch.manual_seed(29)
+    H = 32
+    model_t = ref.edge_denoise.Edge_denoise(
+        vocab_size=781, in_node_nf=8, hidden_nf=H, out_node_nf=780,
+        array_dict=None, n_layers_full=2, n_layers_focal=2,
+        focal_loss=5, edge_loss=1, node_loss=2, full_softmax=True)
+    sd = sd_np(model_t)
+    assert detect_stage(sd) == "denoise"
+    params, inferred, leftovers = convert_denoise(sd)
+    assert_trees_equal(params, tpf.copy_edge_denoise(model_t, H, 2, 2))
+    assert inferred == {"hidden_nf": H, "in_node_nf": 8, "vocab_size": 781,
+                        "out_node_nf": 780, "n_layers_full": 2,
+                        "n_layers_focal": 2}
+    assert leftovers == set()
+
+
+def test_convert_refine_matches_parity_mapping(ref, tmp_path):
+    torch.manual_seed(31)
+    H, V = 32, 780
+    size_dict = {s: [w for w in range(V) if w % 20 + 1 == s]
+                 for s in range(1, 21)}
+    sd_path = tmp_path / "size_dict.pkl"
+    sd_path.write_bytes(pickle.dumps(size_dict))
+    model_t = ref.model_refine.Node2Vec(
+        size_dict=str(sd_path), vocab_size=V, feature_size=8,
+        hidden_size=H, n_layers=2)
+    sd = sd_np(model_t)
+    assert detect_stage(sd) == "refine"
+    params, inferred, leftovers = convert_refine(sd)
+    expected = {
+        "v_embedding": {"embedding": tpf.t2n(model_t.v_embedding.weight)},
+        "size_embedding": {"embedding": tpf.t2n(model_t.size_embedding.weight)},
+        "f_embedding": tpf.copy_sequential_head(model_t.f_embedding),
+        "projection": tpf.copy_sequential_head(model_t.projection, (0, 2, 4)),
+        "output": tpf.copy_sequential_head(model_t.output),
+        **{f"gcl_{ph}{i}": tpf.copy_fine_egcl(model_t._modules[f"gcl_{ph}{i}"], H, 1)
+           for ph in ("collect", "reverse", "back") for i in range(2)},
+    }
+    assert_trees_equal(params, expected)
+    assert inferred == {"hidden_size": H, "feature_size": 8,
+                        "vocab_size": V, "n_layers": 2}
+    assert leftovers == set()
+
+
+def test_missing_key_reports_cleanly(ref):
+    model_t = make_coarse(ref)
+    sd = sd_np(model_t)
+    del sd["dynamics.egnn.e_block_1.gcl_0.node_mlp.0.weight"]
+    from hierdiff_tpu.utils.torch_import import ImportError_
+    with pytest.raises(ImportError_, match="node_mlp.0.weight"):
+        convert_coarse(sd)
