@@ -237,6 +237,112 @@ def cmd_generate(args):
     print(f"-> {args.out}")
 
 
+def _flatten_blur_pkl(obj) -> list:
+    """Coarse pickles are nested lists of {'x','h'} dicts — ours is
+    list-wrapped (cmd_coarse), the reference's sample_batches is a list per
+    batch (sampler.py:40-41). Flatten any nesting down to the dicts."""
+    if isinstance(obj, dict):
+        return [obj]
+    out = []
+    for item in obj:
+        out.extend(_flatten_blur_pkl(item))
+    return out
+
+
+def cmd_assemble(args):
+    """Stage 2 standalone: blur point sets (pickle) -> junction trees.
+
+    The staged counterpart of cmd_generate's fine stage, matching the
+    reference workflow where ar_sampling_nosize.py consumes sampler.py's
+    sample_results.pkl (readme.md:40-66)."""
+    from hierdiff_tpu.chem import HAS_RDKIT
+    from hierdiff_tpu.sampling.pipeline import (build_fine_sampler,
+                                                round_int_features)
+
+    dparams, dcfg, dstep = load_checkpoint_params(args.denoise_workdir)
+    denoise = build_denoise_from_cfg(
+        dcfg, compute_dtype="bfloat16" if args.fine_bf16 else None)
+    print(f"denoise @ {dstep}")
+
+    mesh = None
+    if args.data_parallel and jax.device_count() > 1:
+        from hierdiff_tpu.parallel import make_mesh
+        mesh = make_mesh(jax.devices())
+        print(f"data-parallel over {jax.device_count()} devices")
+
+    gate = None
+    if HAS_RDKIT:
+        from hierdiff_tpu.chem.assemble_gate import make_assembly_gate
+        from hierdiff_tpu.chem.mol_tree import Vocab
+        gate = make_assembly_gate(Vocab())
+
+    sample_buckets = None
+    if args.fine_buckets:
+        from hierdiff_tpu.data.collate import SAMPLING_BUCKETS
+        sample_buckets = SAMPLING_BUCKETS
+
+    refine_hook = None
+    if args.refine_workdir:
+        from hierdiff_tpu.chem.mol_tree import Vocab
+        from hierdiff_tpu.sampling.refine_hook import RefineHook
+
+        rparams, rcfg, rstep = load_checkpoint_params(args.refine_workdir)
+        refine = build_refine_from_cfg(rcfg)
+        refine_hook = RefineHook(refine, rparams, np.asarray(Vocab().mol_sizes),
+                                 can_assemble=gate, buckets=sample_buckets)
+        print(f"refine @ {rstep}")
+
+    with open(args.coarse_pkl, "rb") as f:
+        blur = _flatten_blur_pkl(pickle.load(f))
+    if args.num:
+        blur = blur[: args.num]
+    # integer blur dims round at the stage hand-off (ar_sampling_nosize.py:388)
+    int_nf = 5 if denoise.in_node_nf == 8 else 3
+    blur = [{"x": np.asarray(b["x"], np.float32),
+             "h": round_int_features(np.asarray(b["h"], np.float32), int_nf)}
+            for b in blur]
+
+    sampler = build_fine_sampler(denoise, dparams, beam_size=args.beam,
+                                 can_assemble=gate, refine_hook=refine_hook,
+                                 mesh=mesh, buckets=sample_buckets)
+    trees = sampler.sample(blur)
+    if refine_hook is not None:
+        trees = [refine_hook.finalize(t) if t is not None else None
+                 for t in trees]
+    ok = sum(t is not None for t in trees)
+    print(f"assembled {ok}/{len(blur)} junction trees")
+    payload = {"trees": [None if t is None else
+                         {"wids": t.wids, "adj": t.adj, "pos": t.pos,
+                          "feats": t.feats, "logp": t.logp} for t in trees]}
+    with open(args.out, "wb") as f:
+        pickle.dump(payload, f)
+    print(f"-> {args.out}")
+
+
+def cmd_reconstruct(args):
+    """Stage 3 standalone: junction trees (pickle) -> RDKit molecules.
+
+    The staged counterpart of generation/reconstruct.py:54-106, printing the
+    same valid/unique/avg-atom stats."""
+    from hierdiff_tpu.chem import require_rdkit
+    require_rdkit("reconstruction")
+    from hierdiff_tpu.chem.mol_tree import Vocab
+    from hierdiff_tpu.chem.reconstruct import reconstruct_batch
+    from hierdiff_tpu.sampling.pipeline import tree_dict_to_moltree
+
+    with open(args.trees_pkl, "rb") as f:
+        payload = pickle.load(f)
+    tree_dicts = payload["trees"] if isinstance(payload, dict) else payload
+    vocab = Vocab()
+    jt = [tree_dict_to_moltree(d, vocab) for d in tree_dicts if d is not None]
+    print(f"{len(jt)} trees loaded from {args.trees_pkl}")
+    molecules, stats = reconstruct_batch(jt, vocab, args.workers)
+    print("reconstruction:", stats)
+    with open(args.out, "wb") as f:
+        pickle.dump({"molecules": molecules, "stats": stats}, f)
+    print(f"-> {args.out}")
+
+
 def main(argv=None):
     from hierdiff_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -295,6 +401,32 @@ def main(argv=None):
                          "(distribution-equivalent)")
     pg.add_argument("--out", default="generated.pkl")
     pg.set_defaults(fn=cmd_generate)
+
+    pa = sub.add_parser(
+        "assemble", help="stage 2 standalone: blur point sets -> trees "
+        "(reference ar_sampling_nosize.py)")
+    pa.add_argument("--coarse-pkl", required=True,
+                    help="pickle from `coarse` (or a reference "
+                         "sample_results.pkl)")
+    pa.add_argument("--denoise-workdir", required=True)
+    pa.add_argument("--refine-workdir", default="")
+    pa.add_argument("--num", type=int, default=0, help="cap (0 = all)")
+    pa.add_argument("--beam", type=int, default=5)
+    pa.add_argument("--fine-bf16", action="store_true")
+    pa.add_argument("--fine-buckets", action="store_true")
+    pa.add_argument("--data-parallel", action=argparse.BooleanOptionalAction,
+                    default=True)
+    pa.add_argument("--out", default="assembled_trees.pkl")
+    pa.set_defaults(fn=cmd_assemble)
+
+    pr = sub.add_parser(
+        "reconstruct", help="stage 3 standalone: trees -> RDKit molecules "
+        "(reference generation/reconstruct.py)")
+    pr.add_argument("--trees-pkl", required=True,
+                    help="pickle from `assemble` or `generate`")
+    pr.add_argument("--workers", type=int, default=0)
+    pr.add_argument("--out", default="reconstructed.pkl")
+    pr.set_defaults(fn=cmd_reconstruct)
 
     args = p.parse_args(argv)
     args.fn(args)

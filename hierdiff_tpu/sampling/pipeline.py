@@ -31,6 +31,28 @@ from hierdiff_tpu.sampling.coarse import make_masks_for_counts, sample_coarse
 from hierdiff_tpu.sampling.lattice import LatticeSampler, _next_pow2, pow2_chunks
 
 
+def build_fine_sampler(denoise_model: EdgeDenoise, denoise_params, *,
+                       beam_size: int = 5, can_assemble=None,
+                       refine_hook=None, allowed_fn=None, mesh=None,
+                       buckets: Optional[Sequence[int]] = None):
+    """Stage-2 sampler for a denoise model: the lattice sampler by default;
+    the round-based ARSampler when type choices feed back into the
+    trajectory (``vocab_conditioning``)."""
+    if denoise_model.vocab_conditioning:
+        return ARSampler(denoise_model, denoise_params, beam_size=beam_size,
+                         can_assemble=can_assemble, refine_hook=refine_hook,
+                         allowed_fn=allowed_fn, buckets=buckets)
+    return LatticeSampler(denoise_model, denoise_params, beam_size=beam_size,
+                          can_assemble=can_assemble, refine_hook=refine_hook,
+                          allowed_fn=allowed_fn, mesh=mesh, buckets=buckets)
+
+
+def round_int_features(h: np.ndarray, int_nf: int) -> np.ndarray:
+    """Integer blur dims rounded at the stage-1/2 hand-off
+    (reference: ar_sampling_nosize.py:388)."""
+    return np.concatenate([np.round(h[:, :int_nf]), h[:, int_nf:]], axis=1)
+
+
 @dataclasses.dataclass
 class PipelineResult:
     blur: List[Dict[str, np.ndarray]]
@@ -68,17 +90,10 @@ class GenerationPipeline:
         self.coarse_params = coarse_params
         self.nodes_dist = DistributionNodes(histogram)
         self.sample_buckets = tuple(sample_buckets) if sample_buckets else None
-        if denoise_model.vocab_conditioning:
-            # type choices feed back into the trajectory: round-based path
-            self.sampler = ARSampler(denoise_model, denoise_params,
-                                     beam_size=beam_size, can_assemble=can_assemble,
-                                     refine_hook=refine_hook, allowed_fn=allowed_fn,
-                                     buckets=self.sample_buckets)
-        else:
-            self.sampler = LatticeSampler(denoise_model, denoise_params,
-                                          beam_size=beam_size, can_assemble=can_assemble,
-                                          refine_hook=refine_hook, allowed_fn=allowed_fn,
-                                          mesh=mesh, buckets=self.sample_buckets)
+        self.sampler = build_fine_sampler(
+            denoise_model, denoise_params, beam_size=beam_size,
+            can_assemble=can_assemble, refine_hook=refine_hook,
+            allowed_fn=allowed_fn, mesh=mesh, buckets=self.sample_buckets)
         self.int_nf = int_nf
         self.vocab = vocab
         self.max_n_cap = max_n_cap
@@ -153,10 +168,8 @@ class GenerationPipeline:
             x, h = xh[..., :nd], xh[..., nd:]
             for row, i in enumerate(chunk):
                 c = int(counts[i])
-                hi = h[row, :c]
-                # round integer blur dims at hand-off (ar_sampling_nosize.py:388)
-                hi = np.concatenate([np.round(hi[:, : self.int_nf]), hi[:, self.int_nf:]], axis=1)
-                out[i] = {"x": x[row, :c], "h": hi}
+                out[i] = {"x": x[row, :c],
+                          "h": round_int_features(h[row, :c], self.int_nf)}
         return out  # type: ignore[return-value]
 
     def run(self, rng_key, n_molecules: int, reconstruct: bool = True,
@@ -243,15 +256,25 @@ class GenerationPipeline:
 
 def tree_state_to_moltree(state: TreeState, vocab):
     """Convert a beam-search TreeState into a chem.MolTree for reconstruction."""
+    return tree_dict_to_moltree(
+        {"wids": state.wids, "adj": state.adj, "pos": state.pos,
+         "feats": state.feats}, vocab)
+
+
+def tree_dict_to_moltree(d: Dict[str, np.ndarray], vocab):
+    """Portable tree-dict form ({wids, adj, pos, feats} — the sampling CLI's
+    pickle payload) -> chem.MolTree for reconstruction."""
     from hierdiff_tpu.chem.mol_tree import MolTree, MolTreeNode
 
+    wids = np.asarray(d["wids"])
+    pos = np.asarray(d["pos"])
+    feats = np.asarray(d["feats"])
     nodes = []
-    for i in range(state.n):
-        wid = int(state.wids[i])
-        smiles = vocab.get_smiles(wid)
-        nodes.append(MolTreeNode(smiles, state.pos[i], vocab=vocab,
-                                 hbd=float(state.feats[i, 0])))
-    adj = state.adj.copy()
+    for i in range(len(wids)):
+        smiles = vocab.get_smiles(int(wids[i]))
+        nodes.append(MolTreeNode(smiles, pos[i], vocab=vocab,
+                                 hbd=float(feats[i, 0])))
+    adj = np.asarray(d["adj"]).copy()
     np.fill_diagonal(adj, 0)
     edge_index = np.nonzero(adj)
     return MolTree(nodes=nodes, edge_index=edge_index)
