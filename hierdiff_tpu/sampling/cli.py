@@ -164,19 +164,15 @@ def cmd_coarse(args):
     print(f"{len(results)} point sets -> {args.out}")
 
 
-def cmd_generate(args):
+def _fine_stage_setup(args):
+    """Shared stage-2 CLI setup: denoise model, data mesh, assembly gate,
+    pad-bucket set, refine hook (used by both `generate` and `assemble`)."""
     from hierdiff_tpu.chem import HAS_RDKIT
-    from hierdiff_tpu.data.assets import load_histogram
-    from hierdiff_tpu.sampling.pipeline import GenerationPipeline
 
-    cparams, ccfg, cstep = load_checkpoint_params(args.workdir)
-    coarse = build_coarse_from_cfg(
-        ccfg, use_pallas=args.pallas or None,
-        compute_dtype="bfloat16" if args.bf16 else "float32")
     dparams, dcfg, dstep = load_checkpoint_params(args.denoise_workdir)
     denoise = build_denoise_from_cfg(
         dcfg, compute_dtype="bfloat16" if args.fine_bf16 else None)
-    print(f"coarse @ {cstep}, denoise @ {dstep}")
+    print(f"denoise @ {dstep}")
 
     mesh = None
     if args.data_parallel and jax.device_count() > 1:
@@ -205,12 +201,34 @@ def cmd_generate(args):
 
         rparams, rcfg, rstep = load_checkpoint_params(args.refine_workdir)
         refine = build_refine_from_cfg(rcfg)
-        vocab_sizes = np.asarray(Vocab().mol_sizes)
+        vocab_sizes = np.asarray((vocab or Vocab()).mol_sizes)
         # the gate makes check_tree swaps assembly-aware and activates
         # finalize()'s check_final_tree repair (model_refine.py:252-299)
         refine_hook = RefineHook(refine, rparams, vocab_sizes,
                                  can_assemble=gate, buckets=sample_buckets)
         print(f"refine @ {rstep}")
+    return denoise, dparams, mesh, vocab, gate, sample_buckets, refine_hook
+
+
+def _tree_to_dict(t):
+    """TreeState -> the portable pickle form (pipeline.tree_dict_to_moltree's
+    input)."""
+    return None if t is None else {"wids": t.wids, "adj": t.adj, "pos": t.pos,
+                                   "feats": t.feats, "logp": t.logp}
+
+
+def cmd_generate(args):
+    from hierdiff_tpu.chem import HAS_RDKIT
+    from hierdiff_tpu.data.assets import load_histogram
+    from hierdiff_tpu.sampling.pipeline import GenerationPipeline
+
+    cparams, ccfg, cstep = load_checkpoint_params(args.workdir)
+    coarse = build_coarse_from_cfg(
+        ccfg, use_pallas=args.pallas or None,
+        compute_dtype="bfloat16" if args.bf16 else "float32")
+    print(f"coarse @ {cstep}")
+    (denoise, dparams, mesh, vocab, gate, sample_buckets,
+     refine_hook) = _fine_stage_setup(args)
     pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
                               histogram=load_histogram(
                                   ccfg["coarse"].get("dataset", "geom")),
@@ -226,9 +244,7 @@ def cmd_generate(args):
     if result.stats:
         print("reconstruction:", result.stats)
     payload = {
-        "trees": [None if t is None else
-                  {"wids": t.wids, "adj": t.adj, "pos": t.pos, "feats": t.feats,
-                   "logp": t.logp} for t in result.trees],
+        "trees": [_tree_to_dict(t) for t in result.trees],
         "molecules": result.molecules,
         "stats": result.stats,
     }
@@ -238,11 +254,15 @@ def cmd_generate(args):
 
 
 def _flatten_blur_pkl(obj) -> list:
-    """Coarse pickles are nested lists of {'x','h'} dicts — ours is
-    list-wrapped (cmd_coarse), the reference's sample_batches is a list per
-    batch (sampler.py:40-41). Flatten any nesting down to the dicts."""
+    """Coarse pickles are nested containers of {'x','h'} dicts — ours is
+    list-wrapped (cmd_coarse), the reference pickles sample_batches' raw
+    `(results, test_names)` tuple (diffusion_qm9.py:437, sampler.py:40-41).
+    Flatten any list/tuple nesting down to the dicts; non-dict leaves (the
+    pocket test_names strings) are skipped, never recursed into."""
     if isinstance(obj, dict):
         return [obj]
+    if not isinstance(obj, (list, tuple)):
+        return []
     out = []
     for item in obj:
         out.extend(_flatten_blur_pkl(item))
@@ -255,47 +275,23 @@ def cmd_assemble(args):
     The staged counterpart of cmd_generate's fine stage, matching the
     reference workflow where ar_sampling_nosize.py consumes sampler.py's
     sample_results.pkl (readme.md:40-66)."""
-    from hierdiff_tpu.chem import HAS_RDKIT
     from hierdiff_tpu.sampling.pipeline import (build_fine_sampler,
                                                 round_int_features)
 
-    dparams, dcfg, dstep = load_checkpoint_params(args.denoise_workdir)
-    denoise = build_denoise_from_cfg(
-        dcfg, compute_dtype="bfloat16" if args.fine_bf16 else None)
-    print(f"denoise @ {dstep}")
-
-    mesh = None
-    if args.data_parallel and jax.device_count() > 1:
-        from hierdiff_tpu.parallel import make_mesh
-        mesh = make_mesh(jax.devices())
-        print(f"data-parallel over {jax.device_count()} devices")
-
-    gate = None
-    if HAS_RDKIT:
-        from hierdiff_tpu.chem.assemble_gate import make_assembly_gate
-        from hierdiff_tpu.chem.mol_tree import Vocab
-        gate = make_assembly_gate(Vocab())
-
-    sample_buckets = None
-    if args.fine_buckets:
-        from hierdiff_tpu.data.collate import SAMPLING_BUCKETS
-        sample_buckets = SAMPLING_BUCKETS
-
-    refine_hook = None
-    if args.refine_workdir:
-        from hierdiff_tpu.chem.mol_tree import Vocab
-        from hierdiff_tpu.sampling.refine_hook import RefineHook
-
-        rparams, rcfg, rstep = load_checkpoint_params(args.refine_workdir)
-        refine = build_refine_from_cfg(rcfg)
-        refine_hook = RefineHook(refine, rparams, np.asarray(Vocab().mol_sizes),
-                                 can_assemble=gate, buckets=sample_buckets)
-        print(f"refine @ {rstep}")
+    (denoise, dparams, mesh, _vocab, gate, sample_buckets,
+     refine_hook) = _fine_stage_setup(args)
 
     with open(args.coarse_pkl, "rb") as f:
         blur = _flatten_blur_pkl(pickle.load(f))
     if args.num:
         blur = blur[: args.num]
+    if any("context" in b for b in blur):
+        # the reference's global-context variant concatenates jt['context']
+        # into h before assembly (ar_sampling_nosize.py:278-279); no live
+        # config trains with context_nf > 0, so refuse rather than silently
+        # dropping the conditioning
+        raise SystemExit("coarse pickle carries global-context channels, "
+                         "which this assemble path does not support")
     # integer blur dims round at the stage hand-off (ar_sampling_nosize.py:388)
     int_nf = 5 if denoise.in_node_nf == 8 else 3
     blur = [{"x": np.asarray(b["x"], np.float32),
@@ -311,9 +307,7 @@ def cmd_assemble(args):
                  for t in trees]
     ok = sum(t is not None for t in trees)
     print(f"assembled {ok}/{len(blur)} junction trees")
-    payload = {"trees": [None if t is None else
-                         {"wids": t.wids, "adj": t.adj, "pos": t.pos,
-                          "feats": t.feats, "logp": t.logp} for t in trees]}
+    payload = {"trees": [_tree_to_dict(t) for t in trees]}
     with open(args.out, "wb") as f:
         pickle.dump(payload, f)
     print(f"-> {args.out}")

@@ -56,7 +56,15 @@ def load_torch_checkpoint(path: str) -> StateDict:
     """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # real reference PL checkpoints embed the hydra/easydict config via
+        # save_hyperparameters() (trainmodule/Edge_denoise.py:21,
+        # diffusion_qm9.py:41), which the weights-only unpickler rejects;
+        # fall back to a full load — the user is importing their own
+        # training artifact
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
     out = {}
     for k, v in sd.items():
@@ -191,6 +199,14 @@ def convert_coarse(sd: StateDict) -> Tuple[Params, Dict[str, object], Set[str]]:
     if "gamma.l1.weight" in sd:
         params["gamma"] = _gamma_network(tr)
         inferred["noise_schedule"] = "learned"
+    # NOTE: predefined schedules persist only the gamma table buffer, which
+    # does not identify the family (cosine vs polynomial/power/precision) —
+    # inferred carries no noise_schedule then and the import CLI requires an
+    # explicit --set coarse.noise_schedule=... override.
+    if "pocket_embed.weight" in sd:
+        # crossdock pocket variant (diffusion_qm9.py:56)
+        params["pocket_embed"] = _embedding(tr, "pocket_embed")
+        inferred["pocket"] = True
     # time channel is always appended by the dynamics wrapper
     # (en_dynamics.py:49; condition_time=True in every live config)
     in_cols = int(egnn["embedding"]["kernel"].shape[0])

@@ -44,6 +44,16 @@ def build_config(stage: str, inferred: dict, overrides):
         c.attention = inferred["attention"]
         if "noise_schedule" in inferred:
             c.noise_schedule = inferred["noise_schedule"]
+        elif not any(o.startswith("coarse.noise_schedule=") for o in overrides):
+            # a predefined-schedule checkpoint carries only the gamma TABLE,
+            # which does not identify the family — refusing beats writing a
+            # config that claims 'learned' against a tree with no gamma params
+            raise SystemExit(
+                "checkpoint has no learned-gamma parameters (predefined "
+                "noise schedule); pass the family explicitly, e.g. "
+                "--set coarse.noise_schedule=polynomial_2")
+        if inferred.get("pocket"):
+            c.pocket = True
         # feature layout: prop = 8 feats (+ optional context channels),
         # elem = 3 (blur_utils.py:62-108); pocket crossdock adds context 1
         ipc = inferred["in_plus_context"]

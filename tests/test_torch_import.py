@@ -48,7 +48,7 @@ def assert_trees_equal(converted, expected, path=""):
                                           err_msg=f"{path}/{k}")
 
 
-def make_coarse(ref, T=50, H=32):
+def make_coarse(ref, T=50, H=32, noise_schedule="learned", pocket=False):
     import yaml as pyyaml
     dyn = tpf.AttrDict(in_node_nf=0, context_node_nf=0, n_dims=3, hidden_nf=H,
                        n_layers=2, attention=True, condition_time=True,
@@ -59,12 +59,14 @@ def make_coarse(ref, T=50, H=32):
     import tempfile
     hist = Path(tempfile.mkdtemp()) / "hist.yaml"
     hist.write_text(pyyaml.dump({5: 10, 6: 20}))
-    cfg = tpf.AttrDict(pocket=False, node_coarse_type="prop", dynamics=dyn,
+    cfg = tpf.AttrDict(pocket=pocket, node_coarse_type="prop", dynamics=dyn,
                        loss_type="vlb", include_charges=0,
-                       noise_schedule="learned", parametrization="eps",
+                       noise_schedule=noise_schedule, parametrization="eps",
                        dataset="geom", hcontinous=False, timesteps=T,
                        norm_values=[1.0, 1.0, 1.0], norm_biases=[0, 0, 0],
-                       data_augmentation=False, analyze=str(hist))
+                       data_augmentation=False, analyze=str(hist),
+                       pre_noise=tpf.AttrDict(noise_schedule=noise_schedule,
+                                              timesteps=T, precision=1e-4))
     torch.manual_seed(23)
     return ref.diffusion.DiffusionQM9(cfg)
 
@@ -165,6 +167,69 @@ def test_convert_refine_matches_parity_mapping(ref, tmp_path):
     assert inferred == {"hidden_size": H, "feature_size": 8,
                         "vocab_size": V, "n_layers": 2}
     assert leftovers == set()
+
+
+def test_predefined_schedule_requires_explicit_family(ref, tmp_path):
+    """Predefined-schedule checkpoints carry only the gamma TABLE, which does
+    not identify the family — the CLI must refuse without an explicit
+    --set coarse.noise_schedule, and succeed with one."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import import_reference_ckpt as cli
+
+    model_t = make_coarse(ref, noise_schedule="polynomial_2")
+    params, inferred, leftovers = convert_coarse(sd_np(model_t))
+    assert "noise_schedule" not in inferred and "gamma" not in params
+    assert leftovers == set()   # the table buffer is a known ignore
+
+    ckpt = tmp_path / "ref.ckpt"
+    torch.save({"state_dict": model_t.state_dict()}, ckpt)
+    with pytest.raises(SystemExit, match="noise_schedule"):
+        cli.main([str(ckpt), "--out", str(tmp_path / "wd_fail")])
+    wd = tmp_path / "wd"
+    assert cli.main([str(ckpt), "--out", str(wd), "--set",
+                     "coarse.noise_schedule=polynomial_2",
+                     "--set", "coarse.timesteps=50"]) == 0
+    import json
+    cfg = json.loads((wd / "config.json").read_text())
+    assert cfg["coarse"]["noise_schedule"] == "polynomial_2"
+
+
+def test_pocket_checkpoint_imports(ref):
+    """Crossdock pocket variants map pocket_embed and set coarse.pocket."""
+    model_t = make_coarse(ref, pocket=True)
+    params, inferred, leftovers = convert_coarse(sd_np(model_t))
+    assert inferred["pocket"] is True
+    assert leftovers == set()
+    np.testing.assert_array_equal(
+        np.asarray(params["pocket_embed"]["embedding"]),
+        tpf.t2n(model_t.pocket_embed.weight))
+
+
+def test_weights_only_fallback(ref, tmp_path):
+    """Real reference PL checkpoints embed non-tensor hyperparameters that
+    the weights-only unpickler rejects; the loader must fall back."""
+    import argparse as ap
+
+    model_t = make_coarse(ref)
+    ckpt = tmp_path / "pl.ckpt"
+    torch.save({"state_dict": model_t.state_dict(),
+                "hyper_parameters": ap.Namespace(lr=1e-3)}, ckpt)
+    with pytest.raises(Exception):
+        torch.load(ckpt, map_location="cpu", weights_only=True)
+    sd = load_torch_checkpoint(str(ckpt))
+    assert "dynamics.egnn.embedding.weight" in sd
+
+
+def test_flatten_reference_tuple_layout():
+    """The reference pickles sample_batches' raw (results, test_names) tuple
+    (diffusion_qm9.py:437); strings must be skipped, not recursed into."""
+    from hierdiff_tpu.sampling.cli import _flatten_blur_pkl
+
+    results = [{"x": np.zeros((3, 3)), "h": np.zeros((3, 8))},
+               {"x": np.zeros((4, 3)), "h": np.zeros((4, 8))}]
+    obj = (results, ["5ABC/lig", "7XYZ/lig"])
+    flat = _flatten_blur_pkl(obj)
+    assert len(flat) == 2 and all(isinstance(b, dict) for b in flat)
 
 
 def test_missing_key_reports_cleanly(ref):
