@@ -75,6 +75,27 @@ def main():
           f"gnorm={float(metrics['grad_norm']):.6f} devices={n_global}",
           flush=True)
 
+    # sharded SAMPLING across processes: each process contributes its local
+    # quarter of the global (8, n) masks, the lax.scan sampler runs
+    # collective-free on every device (pinned single-process in
+    # test_weak_scaling), and the allgathered result must be identical in
+    # both processes — the DCN-growth generation path of SURVEY §2.5
+    from jax.experimental import multihost_utils  # noqa: E402
+
+    from hierdiff_tpu.sampling.coarse import sample_coarse  # noqa: E402
+
+    nm_s = jax.make_array_from_process_local_data(
+        bsh, nm[pid * (b_global // nproc): (pid + 1) * (b_global // nproc)])
+    em_s = jax.make_array_from_process_local_data(
+        bsh, em[pid * (b_global // nproc): (pid + 1) * (b_global // nproc)])
+    x, h = sample_coarse(model, state.params, jax.random.PRNGKey(3), nm_s, em_s)
+    xg = multihost_utils.process_allgather(x, tiled=True)
+    hg = multihost_utils.process_allgather(h, tiled=True)
+    assert xg.shape == (b_global, n, 3) and hg.shape == (b_global, n, 8)
+    ok = int(np.isfinite(xg).all() and np.isfinite(hg).all())
+    checksum = float(np.abs(xg).sum() + np.abs(hg).sum())
+    print(f"SAMPLE {pid} ok={ok} checksum={checksum:.6e}", flush=True)
+
 
 if __name__ == "__main__":
     main()

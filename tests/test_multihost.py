@@ -61,3 +61,13 @@ def test_two_process_distributed_train_step():
     # replicated state + cross-process all-reduce => identical metrics
     assert l0 == pytest.approx(l1, rel=1e-5)
     assert g0 == pytest.approx(g1, rel=1e-5)
+
+    # sharded sampling: each process fed its local mask shard; the
+    # allgathered global sample must be finite and identical in both
+    samples = {}
+    for out in outs:
+        m = re.search(r"SAMPLE (\d+) ok=(\d) checksum=(\S+)", out)
+        assert m, f"no SAMPLE line in:\n{out}"
+        samples[int(m.group(1))] = (int(m.group(2)), float(m.group(3)))
+    assert samples[0][0] == 1 and samples[1][0] == 1
+    assert samples[0][1] == pytest.approx(samples[1][1], rel=1e-6)
