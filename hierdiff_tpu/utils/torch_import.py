@@ -316,6 +316,135 @@ CONVERTERS = {"coarse": convert_coarse, "denoise": convert_denoise,
               "refine": convert_refine}
 
 
+# --------------------------------------------------------------------------
+# export: our flax params -> reference torch state-dict layout (the exact
+# inverse of the converters above; pinned by the roundtrip tests). Lets a
+# user take weights trained here back into the reference's tooling.
+# --------------------------------------------------------------------------
+
+
+def _np(v) -> np.ndarray:
+    return np.asarray(v)
+
+
+def _exp_linear(out: StateDict, prefix: str, p: Params):
+    out[f"{prefix}.weight"] = _np(p["kernel"]).T
+    if "bias" in p:
+        out[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _exp_sequential(out: StateDict, prefix: str, p: Params):
+    for name, sub in p.items():
+        idx = name.split("_")[1]
+        _exp_linear(out, f"{prefix}.{idx}", sub)
+
+
+def _exp_coarse_gcl(out: StateDict, prefix: str, p: Params):
+    w0 = np.concatenate([_np(p["edge_in_w_src"]).T, _np(p["edge_in_w_dst"]).T,
+                         _np(p["edge_in_w_e"]).T], axis=1)
+    out[f"{prefix}.edge_mlp.0.weight"] = w0
+    out[f"{prefix}.edge_mlp.0.bias"] = _np(p["edge_in_bias"])
+    out[f"{prefix}.edge_mlp.2.weight"] = _np(p["edge_out_kernel"]).T
+    out[f"{prefix}.edge_mlp.2.bias"] = _np(p["edge_out_bias"])
+    out[f"{prefix}.node_mlp.0.weight"] = _np(p["node_in_kernel"]).T
+    out[f"{prefix}.node_mlp.0.bias"] = _np(p["node_in_bias"])
+    out[f"{prefix}.node_mlp.2.weight"] = _np(p["node_out_kernel"]).T
+    out[f"{prefix}.node_mlp.2.bias"] = _np(p["node_out_bias"])
+    if "att_kernel" in p:
+        out[f"{prefix}.att_mlp.0.weight"] = _np(p["att_kernel"]).T
+        out[f"{prefix}.att_mlp.0.bias"] = _np(p["att_bias"])
+
+
+def _exp_coarse_equiv(out: StateDict, prefix: str, p: Params):
+    w0 = np.concatenate([_np(p["coord_in_w_src"]).T, _np(p["coord_in_w_dst"]).T,
+                         _np(p["coord_in_w_e"]).T], axis=1)
+    out[f"{prefix}.coord_mlp.0.weight"] = w0
+    out[f"{prefix}.coord_mlp.0.bias"] = _np(p["coord_in_bias"])
+    out[f"{prefix}.coord_mlp.2.weight"] = _np(p["coord_mid_kernel"]).T
+    out[f"{prefix}.coord_mlp.2.bias"] = _np(p["coord_mid_bias"])
+    out[f"{prefix}.coord_mlp.4.weight"] = _np(p["coord_head_kernel"]).T
+
+
+def _exp_fine_egcl(out: StateDict, prefix: str, p: Params):
+    cols = [_np(p["mes_src"]["kernel"]).T, _np(p["mes_dst"]["kernel"]).T,
+            _np(p["mes_rad"]["kernel"]).T]
+    if "mes_e" in p:
+        cols.append(_np(p["mes_e"]["kernel"]).T)
+    out[f"{prefix}.mes_mlp.0.weight"] = np.concatenate(cols, axis=1)
+    out[f"{prefix}.mes_mlp.0.bias"] = _np(p["mes_src"]["bias"])
+    _exp_linear(out, f"{prefix}.mes_mlp.2", p["mes_out"])
+    _exp_linear(out, f"{prefix}.node_mlp.0", p["node_in"])
+    _exp_linear(out, f"{prefix}.node_mlp.2", p["node_out"])
+    _exp_linear(out, f"{prefix}.coord_mlp.0", p["coord_in"])
+    out[f"{prefix}.coord_mlp.2.weight"] = _np(p["coord_head"]["kernel"]).T
+    if "att" in p:
+        _exp_linear(out, f"{prefix}.att_mlp.0", p["att"])
+    if "edge_in" in p:
+        _exp_linear(out, f"{prefix}.edge_mlp.0", p["edge_in"])
+        _exp_linear(out, f"{prefix}.edge_mlp.2", p["edge_out"])
+
+
+def export_coarse(params: Params) -> StateDict:
+    """CoarseDiffusion params -> DiffusionQM9 state-dict layout."""
+    out: StateDict = {}
+    egnn = params["dynamics"]["egnn"]
+    _exp_linear(out, "dynamics.egnn.embedding", egnn["embedding"])
+    _exp_linear(out, "dynamics.egnn.embedding_out", egnn["embedding_out"])
+    for bname, bp in egnn.items():
+        if not bname.startswith("e_block_"):
+            continue
+        for gname, gp in bp.items():
+            prefix = f"dynamics.egnn.{bname}.{gname}"
+            if gname == "gcl_equiv":
+                _exp_coarse_equiv(out, prefix, gp)
+            else:
+                _exp_coarse_gcl(out, prefix, gp)
+    if "gamma" in params:
+        for l in ("l1", "l2", "l3"):
+            _exp_linear(out, f"gamma.{l}", params["gamma"][l])
+        out["gamma.gamma_0"] = _np(params["gamma"]["gamma_0"])
+        out["gamma.gamma_1"] = _np(params["gamma"]["gamma_1"])
+    if "pocket_embed" in params:
+        out["pocket_embed.weight"] = _np(params["pocket_embed"]["embedding"])
+    return out
+
+
+def export_denoise(params: Params) -> StateDict:
+    """EdgeDenoise params -> Edge_denoise state-dict layout."""
+    out: StateDict = {}
+    for ours, theirs in [("feature_embedding", "feature_embedding"),
+                         ("edge_embedding", "edge_embedding"),
+                         ("node_embedding", "node_embedding")]:
+        _exp_linear(out, theirs, params[ours])
+    out["vocab_embedding.weight"] = _np(params["vocab_embedding"]["embedding"])
+    for ours, theirs in [("focal_head", "focal_predict"),
+                         ("edge_head", "edge_predict"),
+                         ("node_head", "node_predict")]:
+        _exp_sequential(out, theirs, params[ours])
+    for name, p in params.items():
+        if name.startswith(("gcl_full_", "gcl_focal_")) or \
+                name in ("gcl_edge", "gcl_denoise"):
+            _exp_fine_egcl(out, name, p)
+    return out
+
+
+def export_refine(params: Params) -> StateDict:
+    """NodeRefine params -> Node2Vec state-dict layout."""
+    out: StateDict = {}
+    out["v_embedding.weight"] = _np(params["v_embedding"]["embedding"])
+    out["size_embedding.weight"] = _np(params["size_embedding"]["embedding"])
+    for name in ("f_embedding", "projection", "output"):
+        _exp_sequential(out, name, params[name])
+    for name, p in params.items():
+        if name.startswith("gcl_"):
+            _exp_fine_egcl(out, name, p)
+    return out
+
+
+EXPORTERS = {"coarse": export_coarse, "denoise": export_denoise,
+             "refine": export_refine}
+
+
 def detect_stage(sd: StateDict) -> Optional[str]:
     if any(k.startswith("dynamics.egnn.") for k in sd):
         return "coarse"

@@ -232,6 +232,44 @@ def test_flatten_reference_tuple_layout():
     assert len(flat) == 2 and all(isinstance(b, dict) for b in flat)
 
 
+@pytest.mark.parametrize("stage", ["coarse", "denoise", "refine"])
+def test_export_roundtrip(ref, tmp_path, stage):
+    """export_* is the exact inverse of convert_*: state dict -> params ->
+    state dict is the identity (up to non-parameter buffers)."""
+    from hierdiff_tpu.utils.torch_import import CONVERTERS, EXPORTERS
+
+    if stage == "coarse":
+        model_t = make_coarse(ref, pocket=True)
+        ignore = {"buffer"}
+    elif stage == "denoise":
+        torch.manual_seed(41)
+        model_t = ref.edge_denoise.Edge_denoise(
+            vocab_size=781, in_node_nf=8, hidden_nf=32, out_node_nf=780,
+            array_dict=None, n_layers_full=2, n_layers_focal=2,
+            focal_loss=5, edge_loss=1, node_loss=2, full_softmax=True)
+        ignore = set()
+    else:
+        import pickle as pkl
+        size_dict = {s: [w for w in range(780) if w % 20 + 1 == s]
+                     for s in range(1, 21)}
+        sd_path = tmp_path / "size_dict.pkl"
+        sd_path.write_bytes(pkl.dumps(size_dict))
+        torch.manual_seed(43)
+        model_t = ref.model_refine.Node2Vec(
+            size_dict=str(sd_path), vocab_size=780, feature_size=8,
+            hidden_size=32, n_layers=2)
+        ignore = set()
+
+    sd = sd_np(model_t)
+    params, _, _ = CONVERTERS[stage](sd)
+    sd2 = EXPORTERS[stage](params)
+    expected_keys = {k for k in sd if k not in ignore}
+    assert set(sd2) == expected_keys, (
+        sorted(set(sd2) ^ expected_keys))
+    for k in sd2:
+        np.testing.assert_array_equal(sd2[k], sd[k], err_msg=k)
+
+
 def test_missing_key_reports_cleanly(ref):
     model_t = make_coarse(ref)
     sd = sd_np(model_t)
