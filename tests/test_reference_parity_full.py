@@ -38,12 +38,17 @@ def t2n(t):
     return np.asarray(t.detach().numpy())
 
 
+_REGISTERED = set()     # stub/reference names _mod and _load put in sys.modules
+
+
 def _mod(name, **attrs):
     m = types.ModuleType(name)
     m.__path__ = []          # mark as package so submodule imports resolve
     for k, v in attrs.items():
         setattr(m, k, v)
-    sys.modules.setdefault(name, m)
+    if name not in sys.modules:
+        sys.modules[name] = m
+        _REGISTERED.add(name)
     return sys.modules[name]
 
 
@@ -53,13 +58,29 @@ def _load(rel, name):
     spec = importlib.util.spec_from_file_location(name, REF / rel)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
+    _REGISTERED.add(name)
     spec.loader.exec_module(mod)
     return mod
 
 
 @pytest.fixture(scope="module")
 def ref():
-    """Reference modules with inert stubs for rdkit/PL/hydra/jtnn."""
+    """Reference modules with inert stubs for rdkit/PL/hydra/jtnn.
+
+    The stubs are removed again at teardown: a leftover `rdkit` stub in
+    sys.modules makes a later fresh `hierdiff_tpu.chem` import conclude
+    HAS_RDKIT=True and build real assembly gates against MolFromSmiles
+    stubs that return None (seen as a test-order failure in
+    test_staged_cli when this module ran first)."""
+    try:
+        yield _build_ref()
+    finally:
+        for name in list(_REGISTERED):
+            sys.modules.pop(name, None)
+        _REGISTERED.clear()
+
+
+def _build_ref():
     # rdkit stubs (never exercised by the compared paths)
     chem = _mod("rdkit.Chem", QED=None, Descriptors=None, RDConfig=None,
                 rdMolDescriptors=None, MolFromSmiles=lambda s: None)
