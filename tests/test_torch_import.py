@@ -270,6 +270,30 @@ def test_export_roundtrip(ref, tmp_path, stage):
         np.testing.assert_array_equal(sd2[k], sd[k], err_msg=k)
 
 
+def test_export_cli_roundtrip(ref, tmp_path):
+    """import CLI -> workdir -> export CLI -> torch ckpt identical to the
+    original (minus non-parameter buffers)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import export_reference_ckpt as ecli
+    import import_reference_ckpt as icli
+
+    model_t = make_coarse(ref)
+    ckpt = tmp_path / "ref.ckpt"
+    torch.save({"state_dict": model_t.state_dict()}, ckpt)
+    wd = tmp_path / "wd"
+    assert icli.main([str(ckpt), "--out", str(wd),
+                      "--set", "coarse.timesteps=50"]) == 0
+    out = tmp_path / "exported.ckpt"
+    assert ecli.main([str(wd), "--out", str(out)]) == 0
+
+    sd_orig = {k: v.numpy() for k, v in model_t.state_dict().items()
+               if k != "buffer"}
+    sd_back = torch.load(out, map_location="cpu", weights_only=True)["state_dict"]
+    assert set(sd_back) == set(sd_orig)
+    for k, v in sd_back.items():
+        np.testing.assert_array_equal(v.numpy(), sd_orig[k], err_msg=k)
+
+
 def test_missing_key_reports_cleanly(ref):
     model_t = make_coarse(ref)
     sd = sd_np(model_t)
