@@ -52,6 +52,12 @@ def test_import_ckpt_help():
         assert flag in r.stdout
 
 
+def test_export_ckpt_help():
+    r = _run(["scripts/export_reference_ckpt.py", "--help"])
+    assert r.returncode == 0, r.stderr
+    assert "--stage" in r.stdout
+
+
 def test_bench_help():
     r = _run(["bench.py", "--help"])
     assert r.returncode == 0, r.stderr
