@@ -275,7 +275,9 @@ def main():
     # default batch = the measured-best production batch (scripts/
     # batch_sweep.py: 1024 amortizes dispatch/scan gaps to 54% wall MFU,
     # +50% mol/s over batch 64; BASELINE.md round-4 lever (b))
-    p.add_argument("batch", nargs="?", type=int, default=1024)
+    p.add_argument("batch", nargs="?", type=int, default=None)
+    p.add_argument("--batch", dest="batch_flag", type=int, default=None,
+                   help="alias for the positional batch size")
     p.add_argument("--stage", choices=["coarse", "fine", "pipeline"], default="coarse")
     p.add_argument("--num", type=int, default=32)
     p.add_argument("--beam", type=int, default=5)
@@ -303,6 +305,8 @@ def main():
                         "less padded N^2, 1.33x less lattice N^3 under the "
                         "GEOM histogram; see data/collate.py)")
     args = p.parse_args()
+    if args.batch is None:
+        args.batch = args.batch_flag if args.batch_flag is not None else 1024
     if args.stage == "coarse":
         bench_coarse(args.batch, max_n=args.max_n, use_pallas=args.pallas,
                      bf16=args.bf16, unroll=args.unroll, steps=args.steps)
