@@ -40,13 +40,26 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the committed source is newer than the built library.
+
+    The .so is a build artifact (not in git); without this check a stale
+    binary left from an earlier build would silently shadow a treekit.cpp
+    edit and still pass the native/Python contract tests."""
+    try:
+        return (_DIR / "treekit.cpp").stat().st_mtime > _LIB_PATH.stat().st_mtime
+    except OSError:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists() and not _build():
-        return None
+    if (not _LIB_PATH.exists() or _stale()) and not _build():
+        if not _LIB_PATH.exists():
+            return None
     lib = ctypes.CDLL(str(_LIB_PATH))
 
     lib.tk_dfs_bidirection.restype = ctypes.c_int32

@@ -304,3 +304,26 @@ def test_native_gated_search_propagates_verdict_errors():
         runtime.beam_search_lattice_native(lattices, sizes, 5,
                                            random.Random(1),
                                            verdict=bad_verdict)
+
+
+def test_stale_library_rebuilds_from_source(tmp_path):
+    """The .so is a build artifact (gitignored): if treekit.cpp is newer than
+    the library, first use must rebuild, so a source edit can never ship a
+    stale binary through the contract tests silently."""
+    import os
+    import time
+
+    src = runtime._DIR / "treekit.cpp"
+    lib = runtime._LIB_PATH
+    assert lib.exists()
+    # Make the source look newer than the built library.
+    future = time.time() + 10
+    os.utime(src, (future, future))
+    try:
+        assert runtime._stale()
+        old_mtime = lib.stat().st_mtime
+        assert runtime._build()
+        assert lib.stat().st_mtime > old_mtime
+    finally:
+        now = time.time()
+        os.utime(src, (now, now))
