@@ -172,6 +172,23 @@ class PQBeamSearch:
     # -- main loop ------------------------------------------------------------
 
     def run(self, init_states: Sequence[TreeState]) -> List[Optional[TreeState]]:
+        gen = self.run_rounds(init_states)
+        try:
+            fleet = next(gen)
+            while True:
+                fleet = gen.send(self.refine_hook.check_batch(fleet))
+        except StopIteration as e:
+            return e.value
+
+    def run_rounds(self, init_states: Sequence[TreeState]):
+        """Generator form of ``run``: yields the fleet whenever a refine
+        check is due and expects ``refine_hook.check_batch``-shaped results
+        via ``send``. Identical semantics to ``run`` (which drives this
+        generator synchronously); exists so an orchestrator can keep MANY
+        searches' fused refine dispatches in flight at once — on a tunneled
+        TPU the ~55+30 ms dispatch+readback latency dominates the refine-on
+        fine stage, and pipelining across molecule groups hides it
+        (sampling/lattice.py _sample_refine_pipelined)."""
         heaps: Dict[int, list] = {}
         budget: Dict[int, int] = {}
         finished: Dict[int, TreeState] = {}
@@ -210,7 +227,7 @@ class PQBeamSearch:
             # refine perturbation: refined trees are re-queued without
             # expanding this round (ar_sampling_nosize.py:138-143)
             if self.refine_hook is not None:
-                checked = self.refine_hook.check_batch(to_expand)
+                checked = yield to_expand
                 to_expand = []
                 for state, dlogp, changed in checked:
                     if changed:

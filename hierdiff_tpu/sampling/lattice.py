@@ -128,7 +128,8 @@ class LatticeSampler:
                  hbm_budget_bytes: int = 2 << 30,
                  max_chunk: Optional[int] = None,
                  buckets: Optional[Sequence[int]] = None,
-                 native_search: bool = True):
+                 native_search: bool = True,
+                 refine_group_cap: int = 32):
         """allowed_fn(blur_feats (n,F)) -> per-node allowed vocab index
         arrays (the array_dict/size restriction of ar_sampling.py:62-118);
         None disables the restriction (nosize variant).
@@ -136,7 +137,16 @@ class LatticeSampler:
         buckets: pad-bucket set (None = collate DEFAULT_BUCKETS). The
         lattice scan length tracks the bucket, so cost is ~N^3 in the pad:
         the finer SAMPLING_BUCKETS set cuts padded N^3 by 1.33x under the
-        GEOM histogram."""
+        GEOM histogram.
+
+        refine_group_cap: refine-hook searches run as MANY independent
+        molecule-group searches (<= cap molecules each, grouped by size
+        bucket) advanced round-robin, so each group's fused check dispatch
+        is in flight while other groups' host work and readbacks proceed —
+        the refine-on fine stage is dispatch-LATENCY-bound on a tunneled
+        TPU (~55+30 ms per round; BASELINE.md), and pipelining across
+        groups hides it. 0 restores the single lockstep search (bit-exact
+        with the reference rng partitioning)."""
         if model.gated and not model.dynamic_depth:
             # inference: bound depth scans by actual tree depth (exact under
             # gated=True; see EdgeDenoise.dynamic_depth)
@@ -154,6 +164,7 @@ class LatticeSampler:
         self.max_chunk = max_chunk
         self.buckets = tuple(buckets) if buckets else DEFAULT_BUCKETS
         self.native_search = native_search
+        self.refine_group_cap = refine_group_cap
         self._fn_cache: Dict[tuple, Callable] = {}
 
     # --- device side ---------------------------------------------------------
@@ -277,8 +288,19 @@ class LatticeSampler:
             from hierdiff_tpu import runtime
             if runtime.treekit_available():
                 return self._sample_native(blur_sets, lattices)
+        if self.refine_hook is not None and self.refine_group_cap:
+            return self._sample_refine_pipelined(blur_sets, lattices)
+        search = PQBeamSearch(
+            LatticeExpander(lattices), beam_size=self.beam_size,
+            can_assemble=self.can_assemble, refine_hook=self.refine_hook,
+            rng=self.rng, retry_final_gate=self.retry_final_gate)
+        return search.run(self._init_states(blur_sets, range(len(blur_sets))))
+
+    @staticmethod
+    def _init_states(blur_sets, indices) -> List[TreeState]:
         init = []
-        for idx, jt in enumerate(blur_sets):
+        for idx in indices:
+            jt = blur_sets[idx]
             n = jt["h"].shape[0]
             init.append(TreeState(
                 feats=np.asarray(jt["h"], np.float32),
@@ -286,11 +308,75 @@ class LatticeSampler:
                 adj=np.zeros((n, n), np.float32),
                 wids=np.full(n, -1, np.int64),
                 index=idx))
-        search = PQBeamSearch(
-            LatticeExpander(lattices), beam_size=self.beam_size,
-            can_assemble=self.can_assemble, refine_hook=self.refine_hook,
-            rng=self.rng, retry_final_gate=self.retry_final_gate)
-        return search.run(init)
+        return init
+
+    def _sample_refine_pipelined(self, blur_sets, lattices
+                                 ) -> List[Optional[TreeState]]:
+        """Refine-on search as pipelined molecule-group searches.
+
+        The refine hook needs one fused device dispatch per fleet round; a
+        single lockstep search serializes round latency (~85 ms dispatch +
+        readback through the tunnel) with the host walk. Here molecules are
+        grouped by size bucket into groups of <= ``refine_group_cap``; each
+        group runs its own PQBeamSearch as a generator
+        (beam.PQBeamSearch.run_rounds) and the event loop keeps every live
+        group's fused check DISPATCHED while collecting them round-robin —
+        device programs queue back-to-back and readbacks (enqueued eagerly
+        via copy_to_host_async) overlap the other groups' host work.
+
+        Per-group searches are seeded from the master rng
+        (``getrandbits(64)`` in group order), so results are deterministic
+        for a fixed (molecule set, grouping, seed) but re-partition the rng
+        tiebreak stream vs the lockstep search — distribution-equivalent,
+        same situation as the coarse stage's bucket-chunked rng. Pipelining
+        itself is bit-exact: execution order WITHIN a group is unchanged
+        (pinned by test_refine_pipelined_matches_sequential_groups)."""
+        import random as _random
+        from collections import deque
+
+        master = self.rng if self.rng is not None else _random.Random(2022)
+        by_bucket: Dict[int, List[int]] = {}
+        for idx, jt in enumerate(blur_sets):
+            by_bucket.setdefault(
+                bucket_for(jt["h"].shape[0], self.buckets), []).append(idx)
+        groups: List[List[int]] = []
+        for nb, idxs in sorted(by_bucket.items()):
+            for c0 in range(0, len(idxs), self.refine_group_cap):
+                groups.append(idxs[c0: c0 + self.refine_group_cap])
+
+        hook = self.refine_hook
+        expander = LatticeExpander(lattices)
+        results: List[Optional[TreeState]] = [None] * len(blur_sets)
+
+        def finish(members, values):
+            for i, r in zip(members, values):
+                results[i] = r
+
+        queue = deque()
+        for members in groups:
+            search = PQBeamSearch(
+                expander, beam_size=self.beam_size,
+                can_assemble=self.can_assemble, refine_hook=hook,
+                rng=_random.Random(master.getrandbits(64)),
+                retry_final_gate=self.retry_final_gate)
+            gen = search.run_rounds(self._init_states(blur_sets, members))
+            try:
+                fleet = next(gen)
+            except StopIteration as e:
+                finish(members, e.value)
+                continue
+            queue.append((gen, members, fleet, hook.dispatch_batch(fleet)))
+
+        while queue:
+            gen, members, fleet, token = queue.popleft()
+            checked = hook.collect_batch(token, fleet)
+            try:
+                fleet = gen.send(checked)
+            except StopIteration as e:
+                finish(members, e.value)
+                continue
+            queue.append((gen, members, fleet, hook.dispatch_batch(fleet)))
+        return results
 
     def _sample_native(self, blur_sets, lattices) -> List[Optional[TreeState]]:
         """No-refine-hook fast path: the whole PQ search in C++

@@ -302,11 +302,12 @@ class RefineHook:
         self.stats["score_rows"] += sp
         return out
 
-    def _run_fused(self, base, wids_rows: Sequence[np.ndarray],
-                   nb: int, sp: int, K: int):
-        """One fused dispatch (single packed readback); returns numpy
-        (total, node_k, wid_k, valid, new_total) trimmed to len(wids_rows)
-        rows."""
+    def _dispatch_fused(self, base, wids_rows: Sequence[np.ndarray],
+                        nb: int, sp: int):
+        """Async half of the fused check: pack + dispatch, do NOT block.
+        The device->host copy is enqueued immediately (copy_to_host_async)
+        so by the time ``_collect_fused`` runs the packed matrix is already
+        on host — the ~20-30 ms blocking readback overlaps other work."""
         import time
         t0 = time.perf_counter()
         feats, pos, adj, nmask = base
@@ -314,18 +315,39 @@ class RefineHook:
         for i, w in enumerate(wids_rows):
             wids[i, :len(w)] = w
             wids[i, len(w):] = -1     # padding nodes must read as unassigned
-        packed = np.asarray(self._fused_fn(nb, sp)(
+        dev = self._fused_fn(nb, sp)(
             self.params, feats, jnp.asarray(wids), pos, adj, nmask,
-            jnp.asarray(self._size_table())))[:len(wids_rows)]
+            jnp.asarray(self._size_table()))
+        try:
+            dev.copy_to_host_async()
+        except Exception:
+            pass
+        self.stats["score_s"] += time.perf_counter() - t0
+        self.stats["score_calls"] += 1
+        self.stats["score_rows"] += sp
+        return dev
+
+    def _collect_fused(self, dev, n_rows: int, K: int):
+        """Blocking half: unpack ONE readback into numpy
+        (total, node_k, wid_k, valid, new_total) trimmed to n_rows."""
+        import time
+        t0 = time.perf_counter()
+        packed = np.asarray(dev)[:n_rows]
         total = packed[:, 0]
         node_k = packed[:, 1: 1 + K].astype(np.int64)
         wid_k = packed[:, 1 + K: 1 + 2 * K].astype(np.int64)
         valid = packed[:, 1 + 2 * K: 1 + 3 * K] > 0.5
         new_total = packed[:, 1 + 3 * K: 1 + 4 * K]
         self.stats["score_s"] += time.perf_counter() - t0
-        self.stats["score_calls"] += 1
-        self.stats["score_rows"] += sp
         return total, node_k, wid_k, valid, new_total
+
+    def _run_fused(self, base, wids_rows: Sequence[np.ndarray],
+                   nb: int, sp: int, K: int):
+        """One fused dispatch (single packed readback); returns numpy
+        (total, node_k, wid_k, valid, new_total) trimmed to len(wids_rows)
+        rows."""
+        dev = self._dispatch_fused(base, wids_rows, nb, sp)
+        return self._collect_fused(dev, len(wids_rows), K)
 
     def _score_nodes(self, jobs: List[Tuple[TreeState, np.ndarray, int]]) -> np.ndarray:
         """Each job = (state, wids_override, masked_node). One device call.
@@ -409,41 +431,42 @@ class RefineHook:
         """(reference: model_refine.py:175-249)"""
         return self.check_batch([state])[0]
 
-    def check_batch(self, states: List[TreeState]) -> List[Tuple[TreeState, float, bool]]:
-        """Batched check_tree across a fleet of beam candidates.
-
-        Device traffic: ONE fused dispatch per fleet chunk (``_fused_fn``) —
-        masked-node scoring, restricted softmax, candidate selection
-        (argsort + front-half/top!=current filters + n_check cap) and the
-        re-scoring of every candidate swap against the state's ORIGINAL wids
-        all run in a single device program. The host only walks each state's
-        candidate slots in order and commits the first that raises the total
-        (and passes the assembly gate) — identical accept semantics to the
-        reference's sequential loop (model_refine.py:175-249). Motivation:
-        under gated beam backtracking the ~60-75 ms tunnel dispatch latency
-        dominates the refine-on pipeline (refine_ab --stats), so dispatches
-        per fleet round go 1+rounds -> exactly 1.
-        """
+    def dispatch_batch(self, states: List[TreeState]):
+        """Async half of ``check_batch``: pack and dispatch EVERY fleet
+        chunk without blocking (JAX dispatch is async; the packed readback
+        is also enqueued). Returns a token for ``collect_batch``."""
         from hierdiff_tpu.sampling.lattice import _next_pow2
 
-        results: List[Tuple[TreeState, float, bool]] = [(s, 0.0, False) for s in states]
         act = [si for si, s in enumerate(states)
                if np.sum(s.wids >= 0) * self.check_frac > 1]
         if not act:
-            return results
+            return (None, [])
         nb = bucket_for(max(states[si].n for si in act), self.buckets)
         K = max(1, int(nb * self.check_frac))
         # bound device grid ((1+K)*S*nb variants per call); chunks share keys
         max_states = max(1, 8192 // (nb * (1 + K)))
+        pending = []
         for c0 in range(0, len(act), max_states):
             chunk = act[c0: c0 + max_states]
             sp = _next_pow2(len(chunk))
             base = self._pack_states([states[si] for si in chunk], nb, sp)
-            total_m, node_m, wid_m, valid_m, new_total_m = self._run_fused(
-                base, [states[si].wids for si in chunk], nb, sp, K)
+            dev = self._dispatch_fused(
+                base, [states[si].wids for si in chunk], nb, sp)
+            pending.append((chunk, dev))
+        return (K, pending)
 
-            # walk each state's candidate slots in order; commit the first
-            # that raises the total and passes the gate
+    def collect_batch(self, token, states: List[TreeState]
+                      ) -> List[Tuple[TreeState, float, bool]]:
+        """Blocking half of ``check_batch``: unpack each chunk's ONE packed
+        readback, then walk each state's candidate slots in order and commit
+        the first that raises the total (and passes the assembly gate) —
+        identical accept semantics to the reference's sequential loop
+        (model_refine.py:175-249)."""
+        K, pending = token
+        results: List[Tuple[TreeState, float, bool]] = [(s, 0.0, False) for s in states]
+        for chunk, dev in pending:
+            total_m, node_m, wid_m, valid_m, new_total_m = self._collect_fused(
+                dev, len(chunk), K)
             for row, si in enumerate(chunk):
                 s = states[si]
                 total = total_m[row]
@@ -464,6 +487,21 @@ class RefineHook:
                     results[si] = (perturbed, float(total - new_total), True)
                     break
         return results
+
+    def check_batch(self, states: List[TreeState]) -> List[Tuple[TreeState, float, bool]]:
+        """Batched check_tree across a fleet of beam candidates.
+
+        Device traffic: ONE fused dispatch per fleet chunk (``_fused_fn``) —
+        masked-node scoring, restricted softmax, candidate selection
+        (argsort + front-half/top!=current filters + n_check cap) and the
+        re-scoring of every candidate swap against the state's ORIGINAL wids
+        all run in a single device program; all chunks are dispatched before
+        any is collected. Motivation: under gated beam backtracking the
+        ~60-75 ms tunnel dispatch latency dominates the refine-on pipeline
+        (refine_ab --stats), so dispatches per fleet round go
+        1+rounds -> exactly 1, and large fleets' chunks pipeline.
+        """
+        return self.collect_batch(self.dispatch_batch(states), states)
 
     def finalize(self, state: TreeState, check_num: int = 10) -> Optional[TreeState]:
         """End-of-search repair: fix non-assemblable nodes by swapping to

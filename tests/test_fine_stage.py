@@ -587,3 +587,68 @@ def test_refine_hook_bucket_pad_invariance(gen):
         np.testing.assert_allclose(out[12][0][row][a], out[16][0][row][a],
                                    rtol=1e-5, atol=1e-5)
         assert np.array_equal(out[12][1][row][a], out[16][1][row][a])
+
+
+def test_refine_pipelined_matches_sequential_groups(gen):
+    """The pipelined refine-on orchestrator (_sample_refine_pipelined) is
+    bit-exact vs running each molecule group's search SEQUENTIALLY with the
+    same per-group rng seeds — pipelining changes only which fused dispatch
+    is in flight, never the execution order within a group."""
+    import random as _random
+
+    from hierdiff_tpu.data.assets import load_vocab_fps, load_vocab_smiles
+    from hierdiff_tpu.data.collate import bucket_for
+    from hierdiff_tpu.sampling.beam import PQBeamSearch
+    from hierdiff_tpu.sampling.lattice import LatticeExpander, LatticeSampler
+    from hierdiff_tpu.sampling.refine_hook import RefineHook
+
+    dmodel = EdgeDenoise(hidden_nf=32, n_layers_full=1, n_layers_focal=1)
+    dbatch = {k: jnp.asarray(v) for k, v in
+              make_denoise_batch(gen.sample_trees(2, n=6), random.Random(0),
+                                 max_n=8).items()}
+    dparams = jax.jit(dmodel.init)(jax.random.PRNGKey(0), dbatch)
+    rmodel = NodeRefine(hidden_size=32, n_layers=1)
+    rbatch = {k: jnp.asarray(v) for k, v in
+              make_refine_batch(gen.sample_trees(2, n=6), random.Random(1),
+                                max_n=8).items()}
+    rparams = jax.jit(rmodel.init)(jax.random.PRNGKey(1), rbatch)
+    vocab_sizes = np.array([int(round(load_vocab_fps()[s][3]))
+                            for s in load_vocab_smiles()])
+
+    trees = gen.sample_trees(5, n=6) + gen.sample_trees(4, n=10)
+    blur = [{"x": t.pos, "h": t.feats} for t in trees]
+
+    cap = 3
+    hook = RefineHook(rmodel, rparams, vocab_sizes, check_frac=0.5)
+    sampler = LatticeSampler(dmodel, dparams, beam_size=2, refine_hook=hook,
+                             rng=_random.Random(7), refine_group_cap=cap)
+    got = sampler.sample(blur)
+
+    # sequential reference: same grouping + same per-group seeds, each
+    # group's search run to completion before the next starts
+    lattices = LatticeSampler(dmodel, dparams, beam_size=2).compute_lattices(blur)
+    master = _random.Random(7)
+    by_bucket = {}
+    for idx, jt in enumerate(blur):
+        by_bucket.setdefault(
+            bucket_for(jt["h"].shape[0], sampler.buckets), []).append(idx)
+    want = [None] * len(blur)
+    hook2 = RefineHook(rmodel, rparams, vocab_sizes, check_frac=0.5)
+    for nb, idxs in sorted(by_bucket.items()):
+        for c0 in range(0, len(idxs), cap):
+            members = idxs[c0: c0 + cap]
+            search = PQBeamSearch(LatticeExpander(lattices), beam_size=2,
+                                  refine_hook=hook2,
+                                  rng=_random.Random(master.getrandbits(64)))
+            res = search.run(LatticeSampler._init_states(blur, members))
+            for i, r in zip(members, res):
+                want[i] = r
+
+    assert any(r is not None for r in want)
+    for a, b in zip(got, want):
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(a.wids, b.wids)
+        np.testing.assert_array_equal(a.adj, b.adj)
+        assert a.logp == pytest.approx(b.logp, rel=1e-6)
