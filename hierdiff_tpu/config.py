@@ -43,6 +43,9 @@ class CoarseModelConfig:
     aggregation_method: str = "sum"
     condition_time: bool = True
     context_node_nf: int = 0
+    # ddpmgblur.yaml:32,35 — off in the live config but reachable
+    mode: str = "egnn_dynamics"          # 'egnn_dynamics' | 'gnn_dynamics'
+    sin_embedding: bool = False          # sinusoidal distance embedding
     remat: bool = False
     use_pallas: bool = False             # fused EGNN inference kernels (ops/egnn_pallas.py)
     compute_dtype: Optional[str] = None  # 'bfloat16' = bf16 matmul operands, f32 accum

@@ -78,6 +78,10 @@ class CoarseDiffusion(nn.Module):
     remat: bool = False
     use_pallas: bool = False
     compute_dtype: Optional[str] = None  # 'bfloat16' = bf16 matmul operands
+    # reference knobs off in the live config but constructor-reachable
+    # (ddpmgblur.yaml:32,35 / egnn_new.py:208,245)
+    mode: str = "egnn_dynamics"    # 'egnn_dynamics' | 'gnn_dynamics'
+    sin_embedding: bool = False    # sinusoidal distance embedding
     pocket: bool = False           # pocket-conditioned (crossdock) variant
     # The reference's pocket edge mask is BLOCK-DIAGONAL (mol-mol +
     # pocket-pocket only, diffusion_qm9.py:714-719, 369-371), which leaves
@@ -117,6 +121,8 @@ class CoarseDiffusion(nn.Module):
             remat=self.remat,
             use_pallas=self.use_pallas,
             compute_dtype=self.compute_dtype,
+            mode=self.mode,
+            sin_embedding=self.sin_embedding,
         )
 
     # --- schedule access ---------------------------------------------------

@@ -45,6 +45,10 @@ class EGNNDynamics(nn.Module):
     remat: bool = False
     use_pallas: bool = False
     compute_dtype: Optional[str] = None
+    # reference knobs off in the live config but constructor-reachable
+    # (conf/model/ddpmgblur.yaml:32,35): 'egnn_dynamics' | 'gnn_dynamics'
+    mode: str = "egnn_dynamics"
+    sin_embedding: bool = False
 
     @nn.compact
     def __call__(
@@ -81,29 +85,34 @@ class EGNNDynamics(nn.Module):
         egnn_in = self.in_node_nf + self.context_node_nf + (1 if self.condition_time else 0)
         assert h.shape[-1] == egnn_in, (h.shape, egnn_in)
 
-        h_final, x_final = DenseEGNN(
-            hidden_nf=self.hidden_nf,
-            out_node_nf=egnn_in,
-            n_layers=self.n_layers,
-            inv_sublayers=self.inv_sublayers,
-            attention=self.attention,
-            tanh=self.tanh,
-            coords_range=self.coords_range,
-            norm_constant=self.norm_constant,
-            normalization_factor=self.normalization_factor,
-            aggregation_method=self.aggregation_method,
-            remat=self.remat,
-            use_pallas=self.use_pallas,
-            compute_dtype=self.compute_dtype,
-            name="egnn",
-        )(h, x, node_mask, edge_mask)
-
-        if mol_shape is not None:
-            # freeze pocket coordinates beyond the molecule rows
-            # (reference: en_dynamics.py:83-88)
-            x_final = jnp.concatenate([x_final[:, :mol_shape], x[:, mol_shape:]], axis=1)
-
-        vel = (x_final - x) * node_mask
+        if self.mode == "gnn_dynamics":
+            # plain-GNN dynamics (reference: en_dynamics.py:25-30,90-94):
+            # coordinates become node features, the net predicts
+            # [vel, h_final] directly; x_final freeze (mol_shape) does not
+            # apply — the reference only implements it on the egnn branch
+            from hierdiff_tpu.ops.egnn import DenseGNN
+            out = DenseGNN(
+                hidden_nf=self.hidden_nf,
+                out_node_nf=self.n_dims + egnn_in,
+                n_layers=self.n_layers,
+                attention=self.attention,
+                normalization_factor=self.normalization_factor,
+                aggregation_method=self.aggregation_method,
+                compute_dtype=self.compute_dtype,
+                name="gnn",
+            )(jnp.concatenate([x, h], axis=-1), node_mask)
+            vel = out[:, :, : self.n_dims] * node_mask
+            h_final = out[:, :, self.n_dims:]
+        elif self.mode == "egnn_dynamics":
+            h_final, x_final = self._egnn(h, x, node_mask, edge_mask)
+            if mol_shape is not None:
+                # freeze pocket coordinates beyond the molecule rows
+                # (reference: en_dynamics.py:83-88)
+                x_final = jnp.concatenate(
+                    [x_final[:, :mol_shape], x[:, mol_shape:]], axis=1)
+            vel = (x_final - x) * node_mask
+        else:
+            raise ValueError(f"Wrong mode {self.mode}")
 
         if context is not None and self.context_node_nf > 0:
             h_final = h_final[:, :, : -self.context_node_nf]
@@ -124,3 +133,24 @@ class EGNNDynamics(nn.Module):
         if h_dims == 0:
             return vel
         return jnp.concatenate([vel, h_final], axis=2)
+
+    def _egnn(self, h, x, node_mask, edge_mask):
+        egnn_in = (self.in_node_nf + self.context_node_nf
+                   + (1 if self.condition_time else 0))
+        return DenseEGNN(
+            hidden_nf=self.hidden_nf,
+            out_node_nf=egnn_in,
+            n_layers=self.n_layers,
+            inv_sublayers=self.inv_sublayers,
+            attention=self.attention,
+            tanh=self.tanh,
+            coords_range=self.coords_range,
+            norm_constant=self.norm_constant,
+            normalization_factor=self.normalization_factor,
+            aggregation_method=self.aggregation_method,
+            remat=self.remat,
+            use_pallas=self.use_pallas,
+            compute_dtype=self.compute_dtype,
+            sin_embedding=self.sin_embedding,
+            name="egnn",
+        )(h, x, node_mask, edge_mask)

@@ -82,6 +82,28 @@ def _masked_rowsum(m: Array, edge_mask: Array) -> Array:
         preferred_element_type=jnp.float32)
 
 
+def sinusoids_embedding(radial: Array, max_res: float = 30.0,
+                        min_res: float = 30.0 / 2000.0,
+                        div_factor: int = 4) -> Array:
+    """Sinusoidal distance embedding of squared distances.
+
+    (..., 1) radial -> (..., 2*n_frequencies) [sin, cos] features of
+    sqrt(d^2 + 1e-8) at geometric frequencies; defaults give 12 dims.
+    Gradients are stopped, matching the reference's ``.detach()``.
+    (reference: egnn_new.py:245-258 SinusoidsEmbeddingNew)
+    """
+    import math
+
+    n_freq = int(math.log(max_res / min_res, div_factor)) + 1
+    freqs = jnp.asarray(
+        2.0 * math.pi * (float(div_factor) ** jnp.arange(n_freq)) / max_res,
+        radial.dtype)
+    x = jnp.sqrt(radial + 1e-8)
+    emb = x * freqs                       # (..., 1) * (n,) -> (..., n)
+    return jax.lax.stop_gradient(
+        jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1))
+
+
 def coord2diff_dense(x: Array, norm_constant: float = 1.0):
     """Pairwise squared distances and normalized difference vectors.
 
@@ -103,6 +125,8 @@ def _edge_proj(e: Array, w_e: Array, dtype) -> Array:
     the adds it feeds into.
     """
     E = e.shape[-1]
+    if E == 0:      # plain-GNN mode (in_edge_nf=0): no edge-feature channel
+        return jnp.zeros(e.shape[:-1] + (w_e.shape[1],), e.dtype)
     if E <= 4:
         out = e[..., 0, None] * w_e[0]
         for k in range(1, E):
@@ -135,11 +159,13 @@ class DenseGCL(nn.Module):
         hnf = self.hidden_nf
         init = torch_linear_init
         zeros = nn.initializers.zeros
+        # e_dim == 0 (plain-GNN mode): variance_scaling divides by fan_in
+        w_e_init = init if e_dim > 0 else zeros
         p = {
             "edge_in": {
                 "w_src": self.param("edge_in_w_src", init, (h_dim, hnf)),
                 "w_dst": self.param("edge_in_w_dst", init, (h_dim, hnf)),
-                "w_e": self.param("edge_in_w_e", init, (e_dim, hnf)),
+                "w_e": self.param("edge_in_w_e", w_e_init, (e_dim, hnf)),
                 "bias": self.param("edge_in_bias", zeros, (hnf,)),
             },
             "edge_out": {"kernel": self.param("edge_out_kernel", init, (hnf, hnf)),
@@ -286,10 +312,15 @@ class DenseEquivariantBlock(nn.Module):
     aggregation_method: str = "sum"
     use_pallas: bool = False
     compute_dtype: Optional[str] = None
+    sin_embedding: bool = False
 
     @nn.compact
     def __call__(self, h: Array, x: Array, distances0: Array, node_mask: Array, edge_mask: Array):
         radial, coord_diff = coord2diff_dense(x, self.norm_constant)
+        if self.sin_embedding:
+            # per-block distances sinusoid-embedded before the concat
+            # (reference: egnn_new.py:143-145); distances0 arrives embedded
+            radial = sinusoids_embedding(radial)
         edge_attr = jnp.concatenate([radial, distances0], axis=-1)
         for i in range(self.n_layers):
             h = DenseGCL(
@@ -335,11 +366,16 @@ class DenseEGNN(nn.Module):
     remat: bool = False
     use_pallas: bool = False
     compute_dtype: Optional[str] = None
+    sin_embedding: bool = False
 
     @nn.compact
     def __call__(self, h: Array, x: Array, node_mask: Array, edge_mask: Array):
         out_nf = self.out_node_nf if self.out_node_nf is not None else h.shape[-1]
         distances0, _ = coord2diff_dense(x, norm_constant=1.0)
+        if self.sin_embedding:
+            # top-level distances embedded ONCE from the input coordinates
+            # and fed unchanged to every block (reference: egnn_new.py:196-198)
+            distances0 = sinusoids_embedding(distances0)
         h = nn.Dense(self.hidden_nf, kernel_init=torch_linear_init, name="embedding")(h)
         coords_range_layer = float(self.coords_range) / self.n_layers
         block_cls = DenseEquivariantBlock
@@ -357,7 +393,51 @@ class DenseEGNN(nn.Module):
                 aggregation_method=self.aggregation_method,
                 use_pallas=self.use_pallas,
                 compute_dtype=self.compute_dtype,
+                sin_embedding=self.sin_embedding,
                 name=f"e_block_{i}",
             )(h, x, distances0, node_mask, edge_mask)
         h = nn.Dense(out_nf, kernel_init=torch_linear_init, name="embedding_out")(h)
         return h * node_mask, x
+
+
+class DenseGNN(nn.Module):
+    """Plain (non-equivariant) GNN: embed -> n_layers DenseGCL with no edge
+    features -> project out. The reference's ``gnn_dynamics`` backbone
+    (egnn_new.py:208-242, selected by ``mode: gnn_dynamics`` in
+    conf/model/ddpmgblur.yaml:32); coordinates ride in the node features.
+
+    Reference parity notes: the torch GNN is called WITHOUT an edge mask
+    (en_dynamics.py:92 passes only node_mask) over the cached edge list that
+    includes self-edges (en_dynamics.py:124-143), so aggregation here uses
+    an all-ones edge mask including the diagonal and padded pairs — the
+    caller masks node features, exactly like the reference.
+    """
+
+    hidden_nf: int = 256
+    out_node_nf: Optional[int] = None
+    n_layers: int = 4
+    attention: bool = False
+    normalization_factor: float = 100.0
+    aggregation_method: str = "sum"
+    compute_dtype: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, h: Array, node_mask: Array):
+        b, n, _ = h.shape
+        out_nf = self.out_node_nf if self.out_node_nf is not None else h.shape[-1]
+        edge_attr = jnp.zeros((b, n, n, 0), h.dtype)
+        ones = jnp.ones((b, n, n, 1), h.dtype)
+        h = nn.Dense(self.hidden_nf, kernel_init=torch_linear_init,
+                     name="embedding")(h)
+        for i in range(self.n_layers):
+            h = DenseGCL(
+                self.hidden_nf,
+                normalization_factor=self.normalization_factor,
+                aggregation_method=self.aggregation_method,
+                attention=self.attention,
+                compute_dtype=self.compute_dtype,
+                name=f"gcl_{i}",
+            )(h, edge_attr, node_mask, ones)
+        h = nn.Dense(out_nf, kernel_init=torch_linear_init,
+                     name="embedding_out")(h)
+        return h * node_mask

@@ -77,7 +77,9 @@ def build_coarse_from_cfg(cfg: dict, use_pallas: Optional[bool] = None,
         coords_range=m["coords_range"], norm_constant=m["norm_constant"],
         normalization_factor=m["normalization_factor"],
         aggregation_method=m["aggregation_method"],
-        condition_time=m["condition_time"], context_node_nf=m["context_node_nf"])
+        condition_time=m["condition_time"], context_node_nf=m["context_node_nf"],
+        mode=m.get("mode", "egnn_dynamics"),
+        sin_embedding=m.get("sin_embedding", False))
 
 
 def build_denoise_from_cfg(cfg: dict, compute_dtype: Optional[str] = None):

@@ -43,7 +43,8 @@ def build_coarse(cfg):
         aggregation_method=m.aggregation_method, condition_time=m.condition_time,
         context_node_nf=m.context_node_nf, remat=m.remat, use_pallas=m.use_pallas,
         compute_dtype=m.compute_dtype, pocket=m.pocket,
-        pocket_cross_edges=m.pocket_cross_edges)
+        pocket_cross_edges=m.pocket_cross_edges,
+        mode=m.mode, sin_embedding=m.sin_embedding)
 
     def loss_fn(params, batch, rng):
         out = model.apply(params, batch, rng, train=True)

@@ -177,8 +177,34 @@ def _coarse_egnn(tr: _Tracker, prefix: str) -> Tuple[Params, Dict[str, int]]:
         p[f"e_block_{i}"] = bp
     hidden = int(p["embedding"]["kernel"].shape[1])
     has_att = "att_kernel" in p["e_block_0"]["gcl_0"]
-    return p, {"n_layers": n_layers, "inv_sublayers": inv,
-               "hidden_nf": hidden, "attention": has_att}
+    inferred = {"n_layers": n_layers, "inv_sublayers": inv,
+                "hidden_nf": hidden, "attention": has_att}
+    # edge-feature width identifies sin_embedding (egnn_new.py:173-179):
+    # 2 = [radial, distances0]; 24 = two 12-dim sinusoid embeddings
+    e_dim = int(p["e_block_0"]["gcl_0"]["edge_in_w_e"].shape[0])
+    if e_dim == 24:
+        inferred["sin_embedding"] = True
+    elif e_dim != 2:
+        raise ImportError_(
+            f"unrecognized edge-feature width {e_dim} in {prefix}.e_block_0 "
+            "(expected 2, or 24 for sin_embedding=True checkpoints)")
+    return p, inferred
+
+
+def _coarse_gnn(tr: _Tracker, prefix: str) -> Tuple[Params, Dict[str, int]]:
+    """Plain-GNN dynamics backbone (mode='gnn_dynamics',
+    egnn_new.py:208-242): embedding -> gcl_{i} -> embedding_out."""
+    n_layers = _count(tr.sd, f"{prefix}.gcl_{{i}}")
+    if n_layers == 0:
+        raise ImportError_(f"no {prefix}.gcl_* keys — not a GNN backbone")
+    p: Params = {"embedding": _linear(tr, f"{prefix}.embedding"),
+                 "embedding_out": _linear(tr, f"{prefix}.embedding_out")}
+    for i in range(n_layers):
+        p[f"gcl_{i}"] = _coarse_gcl(tr, f"{prefix}.gcl_{i}")
+    hidden = int(p["embedding"]["kernel"].shape[1])
+    has_att = "att_kernel" in p["gcl_0"]
+    return p, {"n_layers": n_layers, "hidden_nf": hidden,
+               "attention": has_att, "mode": "gnn_dynamics"}
 
 
 def _gamma_network(tr: _Tracker) -> Params:
@@ -194,6 +220,20 @@ def convert_coarse(sd: StateDict) -> Tuple[Params, Dict[str, object], Set[str]]:
     attention / noise_schedule ('learned' when gamma-net params exist) /
     in_plus_context (embedding input minus the time channel)."""
     tr = _Tracker(sd)
+    if any(k.startswith("dynamics.gnn.") for k in sd):
+        # mode='gnn_dynamics' (en_dynamics.py:25-30): plain GNN over [x, h]
+        gnn, inferred = _coarse_gnn(tr, "dynamics.gnn")
+        params: Params = {"dynamics": {"gnn": gnn}}
+        if "gamma.l1.weight" in sd:
+            params["gamma"] = _gamma_network(tr)
+            inferred["noise_schedule"] = "learned"
+        if "pocket_embed.weight" in sd:
+            params["pocket_embed"] = _embedding(tr, "pocket_embed")
+            inferred["pocket"] = True
+        # GNN input = [x(3), h, time] (en_dynamics.py:27,90)
+        in_cols = int(gnn["embedding"]["kernel"].shape[0])
+        inferred["in_plus_context"] = in_cols - 3 - 1
+        return params, inferred, tr.leftovers(ignore=(r"gamma\.gamma", r"buffer"))
     egnn, inferred = _coarse_egnn(tr, "dynamics.egnn")
     params: Params = {"dynamics": {"egnn": egnn}}
     if "gamma.l1.weight" in sd:
@@ -213,7 +253,9 @@ def convert_coarse(sd: StateDict) -> Tuple[Params, Dict[str, object], Set[str]]:
     inferred["in_plus_context"] = in_cols - 1
     # 'gamma.gamma' = predefined schedule table buffer; 'buffer' = the
     # dtype/device probe DiffusionQM9 registers (diffusion_qm9.py:106)
-    leftovers = tr.leftovers(ignore=(r"gamma\.gamma", r"buffer"))
+    # sin_embedding registers only a constant 'frequencies' buffer
+    leftovers = tr.leftovers(ignore=(r"gamma\.gamma", r"buffer",
+                                     r".*sin_embedding\.frequencies"))
     return params, inferred, leftovers
 
 
@@ -384,9 +426,29 @@ def _exp_fine_egcl(out: StateDict, prefix: str, p: Params):
         _exp_linear(out, f"{prefix}.edge_mlp.2", p["edge_out"])
 
 
+def _exp_coarse_extras(out: StateDict, params: Params):
+    if "gamma" in params:
+        for l in ("l1", "l2", "l3"):
+            _exp_linear(out, f"gamma.{l}", params["gamma"][l])
+        out["gamma.gamma_0"] = _np(params["gamma"]["gamma_0"])
+        out["gamma.gamma_1"] = _np(params["gamma"]["gamma_1"])
+    if "pocket_embed" in params:
+        out["pocket_embed.weight"] = _np(params["pocket_embed"]["embedding"])
+
+
 def export_coarse(params: Params) -> StateDict:
     """CoarseDiffusion params -> DiffusionQM9 state-dict layout."""
     out: StateDict = {}
+    if "gnn" in params["dynamics"]:
+        # mode='gnn_dynamics' backbone (egnn_new.py:208-242)
+        gnn = params["dynamics"]["gnn"]
+        _exp_linear(out, "dynamics.gnn.embedding", gnn["embedding"])
+        _exp_linear(out, "dynamics.gnn.embedding_out", gnn["embedding_out"])
+        for gname, gp in gnn.items():
+            if gname.startswith("gcl_"):
+                _exp_coarse_gcl(out, f"dynamics.gnn.{gname}", gp)
+        _exp_coarse_extras(out, params)
+        return out
     egnn = params["dynamics"]["egnn"]
     _exp_linear(out, "dynamics.egnn.embedding", egnn["embedding"])
     _exp_linear(out, "dynamics.egnn.embedding_out", egnn["embedding_out"])
@@ -399,13 +461,7 @@ def export_coarse(params: Params) -> StateDict:
                 _exp_coarse_equiv(out, prefix, gp)
             else:
                 _exp_coarse_gcl(out, prefix, gp)
-    if "gamma" in params:
-        for l in ("l1", "l2", "l3"):
-            _exp_linear(out, f"gamma.{l}", params["gamma"][l])
-        out["gamma.gamma_0"] = _np(params["gamma"]["gamma_0"])
-        out["gamma.gamma_1"] = _np(params["gamma"]["gamma_1"])
-    if "pocket_embed" in params:
-        out["pocket_embed.weight"] = _np(params["pocket_embed"]["embedding"])
+    _exp_coarse_extras(out, params)
     return out
 
 
@@ -446,7 +502,8 @@ EXPORTERS = {"coarse": export_coarse, "denoise": export_denoise,
 
 
 def detect_stage(sd: StateDict) -> Optional[str]:
-    if any(k.startswith("dynamics.egnn.") for k in sd):
+    if any(k.startswith("dynamics.egnn.") or k.startswith("dynamics.gnn.")
+           for k in sd):
         return "coarse"
     if any(k.startswith("gcl_full_") for k in sd):
         return "denoise"

@@ -39,9 +39,12 @@ def build_config(stage: str, inferred: dict, overrides):
     if stage == "coarse":
         c = cfg.coarse
         c.n_layers = inferred["n_layers"]
-        c.inv_sublayers = inferred["inv_sublayers"]
+        if "inv_sublayers" in inferred:
+            c.inv_sublayers = inferred["inv_sublayers"]
         c.hidden_nf = inferred["hidden_nf"]
         c.attention = inferred["attention"]
+        c.mode = inferred.get("mode", "egnn_dynamics")
+        c.sin_embedding = inferred.get("sin_embedding", False)
         if "noise_schedule" in inferred:
             c.noise_schedule = inferred["noise_schedule"]
         elif not any(o.startswith("coarse.noise_schedule=") for o in overrides):

@@ -33,3 +33,18 @@ else:
     from hierdiff_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+
+def pytest_collection_modifyitems(config, items):
+    # HIERDIFF_CHEM_BACKEND=real (scripts/verify_chem.py): the conformance
+    # suite runs against real RDKit; tests that poke fake-rdkit internals
+    # (FAIL_EMBED, _explicit_hs) are meaningless there and are skipped.
+    import os
+
+    import pytest
+
+    if os.environ.get("HIERDIFF_CHEM_BACKEND") == "real":
+        skip = pytest.mark.skip(reason="fake-rdkit-internal test under real backend")
+        for item in items:
+            if "fake_only" in item.keywords:
+                item.add_marker(skip)

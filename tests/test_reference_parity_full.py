@@ -339,6 +339,89 @@ def test_dynamics_forward_parity(ref):
     np.testing.assert_allclose(np.asarray(out), out_ref, atol=5e-4, rtol=5e-4)
 
 
+def test_full_egnn_sin_embedding_parity(ref):
+    """EGNN with sin_embedding=True (egnn_new.py:245-258 SinusoidsEmbeddingNew,
+    conf knob ddpmgblur.yaml:35): top-level distances embedded once, per-block
+    distances embedded before the concat — 24 edge-feature dims."""
+    from hierdiff_tpu.ops.egnn import DenseEGNN
+
+    torch.manual_seed(5)
+    H, B, N, IN, LAYERS, SUB = 32, 2, 6, 9, 2, 2
+    egnn_t = ref.egnn_new.EGNN(
+        in_node_nf=IN, in_edge_nf=1, hidden_nf=H, n_layers=LAYERS,
+        attention=True, tanh=True, coords_range=30, norm_constant=0,
+        inv_sublayers=SUB, sin_embedding=True,
+        normalization_factor=10, aggregation_method="sum")
+    egnn_t.eval()
+
+    h, x, node_mask, edge_mask = masked_batch(B, N, IN, [5, 6], seed=6)
+    edges = fully_connected_edges(N, B)
+    with torch.no_grad():
+        h_ref, x_ref = egnn_t(
+            torch.tensor(h.reshape(B * N, IN)), torch.tensor(x.reshape(B * N, 3)),
+            edges, node_mask=torch.tensor(node_mask.reshape(B * N, 1)),
+            edge_mask=torch.tensor(edge_mask.reshape(B * N * N, 1)))
+    h_ref = t2n(h_ref).reshape(B, N, IN)
+    x_ref = t2n(x_ref).reshape(B, N, 3)
+
+    ours = DenseEGNN(hidden_nf=H, out_node_nf=IN, n_layers=LAYERS,
+                     inv_sublayers=SUB, attention=True, tanh=True,
+                     coords_range=30.0, norm_constant=0.0,
+                     normalization_factor=10.0, aggregation_method="sum",
+                     sin_embedding=True)
+    params = {"params": copy_full_egnn(egnn_t, H, LAYERS, SUB)}
+    with jax.default_matmul_precision("highest"):
+        h_out, x_out = ours.apply(params, jnp.asarray(h), jnp.asarray(x),
+                                  jnp.asarray(node_mask), jnp.asarray(edge_mask[..., None]))
+    np.testing.assert_allclose(np.asarray(h_out), h_ref, atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(x_out), x_ref, atol=5e-4, rtol=5e-4)
+
+
+def copy_gnn(gnn_t, H, n_layers):
+    p = {"embedding": copy_linear(gnn_t.embedding),
+         "embedding_out": copy_linear(gnn_t.embedding_out)}
+    for i in range(n_layers):
+        p[f"gcl_{i}"] = copy_coarse_gcl(gnn_t._modules[f"gcl_{i}"], H)
+    return p
+
+
+def test_gnn_dynamics_forward_parity(ref):
+    """mode='gnn_dynamics' (en_dynamics.py:25-30,90-94 / egnn_new.py:208-242):
+    plain GNN over [x, h] node features, no edge mask (self-edges and padded
+    pairs aggregate, matching the reference's unmasked scatter)."""
+    from hierdiff_tpu.models.dynamics import EGNNDynamics
+
+    torch.manual_seed(7)
+    H, B, N, FEAT, LAYERS = 32, 2, 6, 8, 3
+    dyn_t = ref.dynamics.EGNN_dynamics_QM9(
+        in_node_nf=FEAT + 1, context_node_nf=0, n_dims=3, hidden_nf=H,
+        n_layers=LAYERS, attention=False, mode="gnn_dynamics",
+        normalization_factor=10, aggregation_method="sum",
+        condition_time=True)
+    dyn_t.eval()
+
+    _, x, node_mask, edge_mask = masked_batch(B, N, FEAT, [5, 6], seed=8)
+    rng = np.random.default_rng(9)
+    feats = (rng.standard_normal((B, N, FEAT)).astype(np.float32)) * node_mask
+    xh = np.concatenate([x, feats], axis=2)
+    t = np.array([[0.3], [0.7]], np.float32)
+
+    with torch.no_grad():
+        out_ref = dyn_t._forward(torch.tensor(t), torch.tensor(xh),
+                                 torch.tensor(node_mask).bool(),
+                                 torch.tensor(edge_mask), context=None)
+    out_ref = t2n(out_ref)
+
+    ours = EGNNDynamics(in_node_nf=FEAT, hidden_nf=H, n_layers=LAYERS,
+                        attention=False, normalization_factor=10.0,
+                        condition_time=True, mode="gnn_dynamics")
+    params = {"params": {"gnn": copy_gnn(dyn_t.gnn, H, LAYERS)}}
+    with jax.default_matmul_precision("highest"):
+        out = ours.apply(params, jnp.asarray(t), jnp.asarray(xh),
+                         jnp.asarray(node_mask), jnp.asarray(edge_mask))
+    np.testing.assert_allclose(np.asarray(out), out_ref, atol=5e-4, rtol=5e-4)
+
+
 # --------------------------------------------------------------------------
 # 3. Edge_denoise full forward: all four heads + losses
 # --------------------------------------------------------------------------

@@ -48,12 +48,13 @@ def assert_trees_equal(converted, expected, path=""):
                                           err_msg=f"{path}/{k}")
 
 
-def make_coarse(ref, T=50, H=32, noise_schedule="learned", pocket=False):
+def make_coarse(ref, T=50, H=32, noise_schedule="learned", pocket=False,
+                sin_embedding=False, mode="egnn_dynamics"):
     import yaml as pyyaml
     dyn = tpf.AttrDict(in_node_nf=0, context_node_nf=0, n_dims=3, hidden_nf=H,
                        n_layers=2, attention=True, condition_time=True,
-                       tanh=True, mode="egnn_dynamics", norm_constant=0,
-                       inv_sublayers=2, sin_embedding=False,
+                       tanh=True, mode=mode, norm_constant=0,
+                       inv_sublayers=2, sin_embedding=sin_embedding,
                        normalization_factor=10, aggregation_method="sum",
                        act_fn="silu")
     import tempfile
@@ -122,6 +123,38 @@ def test_import_cli_coarse_roundtrip(ref, tmp_path):
                            "dynamics": {"egnn": tpf.copy_full_egnn(
                                model_t.dynamics.egnn, 32, 2, 2)}}}
     assert_trees_equal(params, expected)
+
+
+def test_convert_coarse_sin_embedding_variant(ref):
+    """sin_embedding=True checkpoints import with the flag inferred from the
+    24-wide edge-feature channel (egnn_new.py:173-179,245-258); the
+    'frequencies' buffer is recognized, not a leftover."""
+    model_t = make_coarse(ref, sin_embedding=True)
+    params, inferred, leftovers = convert_coarse(sd_np(model_t))
+    assert inferred["sin_embedding"] is True
+    assert not leftovers
+    expected = {"gamma": tpf._copy_gamma(model_t.gamma),
+                "dynamics": {"egnn": tpf.copy_full_egnn(
+                    model_t.dynamics.egnn, 32, 2, 2)}}
+    assert_trees_equal(params, expected)
+
+
+def test_convert_coarse_gnn_dynamics_variant(ref):
+    """mode='gnn_dynamics' checkpoints (en_dynamics.py:25-30) import into
+    the DenseGNN layout with the mode inferred and in_plus_context derived
+    from the [x, h, time] input width."""
+    model_t = make_coarse(ref, mode="gnn_dynamics")
+    params, inferred, leftovers = convert_coarse(sd_np(model_t))
+    assert inferred["mode"] == "gnn_dynamics"
+    assert inferred["n_layers"] == model_t.dynamics.gnn.n_layers
+    assert not leftovers
+    expected = {"gamma": tpf._copy_gamma(model_t.gamma),
+                "dynamics": {"gnn": tpf.copy_gnn(
+                    model_t.dynamics.gnn, 32, model_t.dynamics.gnn.n_layers)}}
+    assert_trees_equal(params, expected)
+    # the inferred width reconstructs the model: in = 3 + feats + time
+    in_cols = int(params["dynamics"]["gnn"]["embedding"]["kernel"].shape[0])
+    assert inferred["in_plus_context"] == in_cols - 4
 
 
 def test_convert_denoise_matches_parity_mapping(ref):
