@@ -210,10 +210,12 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
              make_denoise_batch(gen.sample_trees(2, n=8), random.Random(0), max_n=8).items()}
     dparams = jax.jit(denoise.init)(jax.random.PRNGKey(2), dummy)
 
+    # SAMPLING_BUCKETS is the pipeline default since the round-4 TPU A/B
+    # (+16%: BASELINE.md); --default-buckets restores the coarse set
     sample_buckets = None
-    if fine_buckets:
-        from hierdiff_tpu.data.collate import SAMPLING_BUCKETS
-        sample_buckets = SAMPLING_BUCKETS
+    if fine_buckets == "default":
+        from hierdiff_tpu.data.collate import DEFAULT_BUCKETS
+        sample_buckets = DEFAULT_BUCKETS
 
     refine_hook = None
     if refine:
@@ -235,11 +237,14 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
 
     gate = _synthetic_gate(gate_reject) if gate_reject > 0 else None
 
+    # refine-on search pipelining A/B knob (0 = lockstep single search)
+    rgc = os.environ.get("HIERDIFF_REFINE_GROUP_CAP")
     pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
                               histogram=load_geom_histogram(), beam_size=beam,
                               refine_hook=refine_hook, can_assemble=gate,
                               sample_steps=steps or None,
-                              sample_buckets=sample_buckets)
+                              sample_buckets=sample_buckets,
+                              refine_group_cap=int(rgc) if rgc else None)
     # same key for warmup and timing: molecule sizes (and thus the set of
     # compiled buckets) must match or compiles leak into the timed region
     pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False,
@@ -253,7 +258,7 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
     n_steps = steps or coarse.timesteps
     tags = ("+refine" if refine else "") + (
         f"+gate{gate_reject:g}" if gate_reject else "") + (
-        "+fine-buckets" if fine_buckets else "")
+        "+default-buckets" if fine_buckets == "default" else "")
     # vs_baseline: the reference pipeline is not runnable here (RDKit), but
     # its measured coarse stage ALONE (torch-CPU, BASELINE_MEASURED.json) is
     # an upper bound on its end-to-end rate, so the ratio is a LOWER bound
@@ -301,9 +306,11 @@ def main():
                         "fraction of candidate expansions (measures "
                         "beam-search backtracking churn)")
     p.add_argument("--fine-buckets", action="store_true",
-                   help="pipeline: finer SAMPLING_BUCKETS pad set (1.23x "
-                        "less padded N^2, 1.33x less lattice N^3 under the "
-                        "GEOM histogram; see data/collate.py)")
+                   help="(no-op: SAMPLING_BUCKETS is the default since the "
+                        "round-4 TPU A/B; see --default-buckets)")
+    p.add_argument("--default-buckets", action="store_true",
+                   help="pipeline: restore the coarser DEFAULT_BUCKETS pad "
+                        "set (fewer compiles, -16%% throughput)")
     args = p.parse_args()
     if args.batch is None:
         args.batch = args.batch_flag if args.batch_flag is not None else 1024
@@ -317,7 +324,7 @@ def main():
         bench_pipeline(args.num, args.beam, batch_size=args.batch,
                        steps=args.steps, bf16=args.bf16, refine=args.refine,
                        gate_reject=args.gate_reject,
-                       fine_buckets=args.fine_buckets)
+                       fine_buckets="default" if args.default_buckets else False)
 
 
 if __name__ == "__main__":

@@ -191,10 +191,11 @@ def _fine_stage_setup(args):
         # (fragment, neighbor set) (ar_sampling_nosize.py:199-200, 396-403)
         gate = make_assembly_gate(vocab)
 
-    sample_buckets = None
-    if args.fine_buckets:
-        from hierdiff_tpu.data.collate import SAMPLING_BUCKETS
-        sample_buckets = SAMPLING_BUCKETS
+    # SAMPLING_BUCKETS is the default since the round-4 TPU A/B (+16%,
+    # BASELINE.md); --default-buckets restores the coarser set
+    from hierdiff_tpu.data.collate import DEFAULT_BUCKETS, SAMPLING_BUCKETS
+    sample_buckets = (DEFAULT_BUCKETS if getattr(args, "default_buckets", False)
+                      else SAMPLING_BUCKETS)
 
     refine_hook = None
     if args.refine_workdir:
@@ -390,10 +391,11 @@ def main(argv=None):
     pg.add_argument("--data-parallel", action=argparse.BooleanOptionalAction,
                     default=True, help="shard generation over all devices")
     pg.add_argument("--fine-buckets", action="store_true",
-                    help="finer pad-bucket set (data/collate.py "
-                         "SAMPLING_BUCKETS): 1.23x less padded N^2 in the "
-                         "coarse stage, 1.33x less N^3 in the fine stage, "
-                         "for a few extra compiles "
+                    help="(no-op: SAMPLING_BUCKETS is the default; "
+                         "see --default-buckets)")
+    pg.add_argument("--default-buckets", action="store_true",
+                    help="restore the coarser DEFAULT_BUCKETS pad set "
+                         "(fewer compiles, -16% measured throughput "
                          "(distribution-equivalent)")
     pg.add_argument("--out", default="generated.pkl")
     pg.set_defaults(fn=cmd_generate)
@@ -410,6 +412,7 @@ def main(argv=None):
     pa.add_argument("--beam", type=int, default=5)
     pa.add_argument("--fine-bf16", action="store_true")
     pa.add_argument("--fine-buckets", action="store_true")
+    pa.add_argument("--default-buckets", action="store_true")
     pa.add_argument("--data-parallel", action=argparse.BooleanOptionalAction,
                     default=True)
     pa.add_argument("--out", default="assembled_trees.pkl")

@@ -34,7 +34,8 @@ from hierdiff_tpu.sampling.lattice import LatticeSampler, _next_pow2, pow2_chunk
 def build_fine_sampler(denoise_model: EdgeDenoise, denoise_params, *,
                        beam_size: int = 5, can_assemble=None,
                        refine_hook=None, allowed_fn=None, mesh=None,
-                       buckets: Optional[Sequence[int]] = None):
+                       buckets: Optional[Sequence[int]] = None,
+                       refine_group_cap: Optional[int] = None):
     """Stage-2 sampler for a denoise model: the lattice sampler by default;
     the round-based ARSampler when type choices feed back into the
     trajectory (``vocab_conditioning``)."""
@@ -42,9 +43,11 @@ def build_fine_sampler(denoise_model: EdgeDenoise, denoise_params, *,
         return ARSampler(denoise_model, denoise_params, beam_size=beam_size,
                          can_assemble=can_assemble, refine_hook=refine_hook,
                          allowed_fn=allowed_fn, buckets=buckets)
+    kw = {} if refine_group_cap is None else {"refine_group_cap": refine_group_cap}
     return LatticeSampler(denoise_model, denoise_params, beam_size=beam_size,
                           can_assemble=can_assemble, refine_hook=refine_hook,
-                          allowed_fn=allowed_fn, mesh=mesh, buckets=buckets)
+                          allowed_fn=allowed_fn, mesh=mesh, buckets=buckets,
+                          **kw)
 
 
 def round_int_features(h: np.ndarray, int_nf: int) -> np.ndarray:
@@ -69,16 +72,19 @@ class GenerationPipeline:
                  vocab=None, max_n_cap: Optional[int] = None,
                  allowed_fn=None, mesh=None,
                  sample_steps: Optional[int] = None,
-                 sample_buckets: Optional[Sequence[int]] = None):
+                 sample_buckets: Optional[Sequence[int]] = None,
+                 refine_group_cap: Optional[int] = None):
         """sample_steps: strided reverse-chain length (None = the model's
         full T; 100 measured 7.5x faster with indistinguishable sampled
         feature distributions — see BASELINE.md).
 
         sample_buckets: pad-bucket set for the coarse chunking AND the
-        fine-stage samplers (None = collate DEFAULT_BUCKETS;
-        data.collate.SAMPLING_BUCKETS trades a few extra compiles for
-        1.23x less padded N^2 / 1.33x less lattice N^3 under the GEOM
-        histogram)."""
+        fine-stage samplers. Default (None) = data.collate.SAMPLING_BUCKETS
+        — the finer set measured +16%% end-to-end on TPU (same-window A/B,
+        3 interleaved reps, BASELINE.md round-4: 81.5 -> 94.8 mol/s;
+        coarse N^2 pad 1.15x, lattice N^3 1.3x). Pass
+        data.collate.DEFAULT_BUCKETS for the round-3 coarse set (fewer
+        compiles)."""
         self.coarse_model = coarse_model
         if mesh is not None:
             # replicate params up front so repeated sharded calls don't
@@ -89,11 +95,15 @@ class GenerationPipeline:
             denoise_params = jax.device_put(denoise_params, repl)
         self.coarse_params = coarse_params
         self.nodes_dist = DistributionNodes(histogram)
-        self.sample_buckets = tuple(sample_buckets) if sample_buckets else None
+        if sample_buckets is None:
+            from hierdiff_tpu.data.collate import SAMPLING_BUCKETS
+            sample_buckets = SAMPLING_BUCKETS
+        self.sample_buckets = tuple(sample_buckets)
         self.sampler = build_fine_sampler(
             denoise_model, denoise_params, beam_size=beam_size,
             can_assemble=can_assemble, refine_hook=refine_hook,
-            allowed_fn=allowed_fn, mesh=mesh, buckets=self.sample_buckets)
+            allowed_fn=allowed_fn, mesh=mesh, buckets=self.sample_buckets,
+            refine_group_cap=refine_group_cap)
         self.int_nf = int_nf
         self.vocab = vocab
         self.max_n_cap = max_n_cap
