@@ -114,7 +114,8 @@ def scaffold_entropy(mols, assume_clean: bool = False) -> float:
     return float(-np.sum(np.log(p) * p))
 
 
-def max_sim_fp(mols, ref_mols, assume_clean: bool = False):
+def max_sim_fp(mols, ref_mols, assume_clean: bool = False,
+               step: Optional[int] = None):
     """Max Morgan-fingerprint Tanimoto vs a reference set.
     (evaluation_method.py:100-114)"""
     require_rdkit("fingerprint similarity")
@@ -123,12 +124,23 @@ def max_sim_fp(mols, ref_mols, assume_clean: bool = False):
     mols = clean_mols(mols, assume_clean)
     ref_mols = clean_mols(ref_mols, assume_clean)
     fp = lambda m: np.array(AllChem.GetMorganFingerprintAsBitVect(m, radius=2, nBits=1024))
-    a = np.stack([fp(m) for m in mols])
-    b = np.stack([fp(m) for m in ref_mols])
-    inter = a @ b.T
-    union = (a.sum(1, keepdims=True) + b.sum(1)[None, :]) - inter
-    sim = inter / np.maximum(union, 1)
-    return sim.max(axis=0), sim.argmax(axis=0)
+    a = np.stack([fp(m) for m in mols]).astype(np.float32)
+    b = np.stack([fp(m) for m in ref_mols]).astype(np.float32)
+    # column-chunked: the full (len(mols), len(ref)) similarity matrix is
+    # ~800 MB x3 at 10k x 10k — peak memory must stay bounded for the 10k
+    # eval (VERDICT r3 next #9); results identical to the dense form
+    asum = a.sum(1, keepdims=True)
+    bsum = b.sum(1)
+    best = np.empty(b.shape[0], np.float64)
+    argb = np.empty(b.shape[0], np.int64)
+    if step is None:
+        step = max(1, (1 << 27) // max(a.shape[0], 1))   # ~128M f32 per block
+    for c0 in range(0, b.shape[0], step):
+        inter = a @ b[c0:c0 + step].T
+        sim = inter / np.maximum(asum + bsum[None, c0:c0 + step] - inter, 1)
+        best[c0:c0 + step] = sim.max(axis=0)
+        argb[c0:c0 + step] = sim.argmax(axis=0)
+    return best, argb
 
 
 def conformer_rmsd(mol, num: int = 32, workers: int = 4) -> Optional[float]:
@@ -181,7 +193,8 @@ def cal_rings(mols):
     return np.array(sizes), np.array(counts)
 
 
-def mmd_rbf(x: np.ndarray, y: np.ndarray, gamma: float = 1.0) -> float:
+def mmd_rbf(x: np.ndarray, y: np.ndarray, gamma: float = 1.0,
+            step: Optional[int] = None) -> float:
     """MMD with an RBF kernel — pure numpy. (evaluation_method.py:155-172)"""
     x = np.asarray(x, float)
     y = np.asarray(y, float)
@@ -189,11 +202,16 @@ def mmd_rbf(x: np.ndarray, y: np.ndarray, gamma: float = 1.0) -> float:
         x = x[:, None]
         y = y[:, None]
 
-    def k(a, b):
-        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
-        return np.exp(-gamma * d2)
+    def kmean(a, b):
+        # row-chunked kernel mean: bounded peak memory at 10k+ samples
+        blk = step if step else max(1, (1 << 26) // max(b.shape[0], 1))
+        tot = 0.0
+        for c0 in range(0, a.shape[0], blk):
+            d2 = ((a[c0:c0 + blk, None, :] - b[None, :, :]) ** 2).sum(-1)
+            tot += np.exp(-gamma * d2).sum()
+        return tot / (a.shape[0] * b.shape[0])
 
-    return float(k(x, x).mean() + k(y, y).mean() - 2 * k(x, y).mean())
+    return float(kmean(x, x) + kmean(y, y) - 2 * kmean(x, y))
 
 
 def hetero_atom_ratio(mols) -> np.ndarray:
