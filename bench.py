@@ -1,22 +1,27 @@
 """Benchmark: molecule generation throughput on one TPU chip.
 
 Default (driver mode) prints ONE JSON line for the headline metric —
-1000-step coarse EDM sampling at the driver baseline config (64 fragment
-point-sets, N<=12, hidden 256 / 6 layers):
+the REFERENCE-SHAPED end-to-end pipeline: 1000-step coarse EDM sampling +
+beam-5 lattice AR assembly WITH the check_tree refine perturbation on every
+queue pop, exactly the configuration the reference always runs
+(generation/ar_sampling_nosize.py:138-143), 256 molecules at batch 256:
 
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 vs_baseline divides by the measured reference throughput in
 BASELINE_MEASURED.json (1000 sequential torch EGNN forwards at the same
 config; scripts/measure_baseline.py) — reference hardware there is torch-CPU
-since its GPU env is unavailable; see BASELINE.md for the caveat.
+since its GPU env is unavailable; see BASELINE.md for the caveat. The
+reference's end-to-end rate is strictly below its coarse stage alone, so
+the ratio is a LOWER bound on the true end-to-end speedup.
 
 Extra modes (one JSON line each):
+  python bench.py --stage coarse                   # coarse stage alone
   python bench.py --stage coarse --max-n 48        # GEOM-realistic bucket
   python bench.py --stage coarse --max-n 96 --pallas
   python bench.py --stage fine                     # lattice AR assembly
-  python bench.py --stage pipeline                 # coarse + AR end-to-end
-  python bench.py --batch 256                      # coarse, other batch
+  python bench.py --stage pipeline --num 10000     # 10k sweep (no refine)
+  python bench.py --gate-reject 0.2                # + synthetic assembly gate
 
 The coarse mode also reports achieved TFLOP/s and MFU (XLA compiled-cost
 FLOPs / wall clock / peak; peak defaults to 197 TFLOP/s bf16 for v5e —
@@ -283,8 +288,11 @@ def main():
     p.add_argument("batch", nargs="?", type=int, default=None)
     p.add_argument("--batch", dest="batch_flag", type=int, default=None,
                    help="alias for the positional batch size")
-    p.add_argument("--stage", choices=["coarse", "fine", "pipeline"], default="coarse")
-    p.add_argument("--num", type=int, default=32)
+    p.add_argument("--stage", choices=["coarse", "fine", "pipeline"],
+                   default=None,
+                   help="default: the reference-shaped refine-on pipeline "
+                        "(256 molecules, batch 256)")
+    p.add_argument("--num", type=int, default=None)
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--max-n", type=int, default=12)
     p.add_argument("--pallas", action="store_true")
@@ -312,6 +320,17 @@ def main():
                    help="pipeline: restore the coarser DEFAULT_BUCKETS pad "
                         "set (fewer compiles, -16%% throughput)")
     args = p.parse_args()
+    if args.stage is None:
+        # driver headline: the reference-shaped pipeline (refine on every
+        # pop, ar_sampling_nosize.py:138-143) — see module docstring
+        args.stage = "pipeline"
+        args.refine = True
+        if args.num is None:
+            args.num = 256
+        if args.batch is None and args.batch_flag is None:
+            args.batch = 256
+    if args.num is None:
+        args.num = 32
     if args.batch is None:
         args.batch = args.batch_flag if args.batch_flag is not None else 1024
     if args.stage == "coarse":

@@ -90,9 +90,52 @@ def main():
                    default=float(os.environ.get("BENCH_PEAK_TFLOPS", "197")))
     p.add_argument("--parse-only", action="store_true",
                    help="skip the run, parse an existing trace under --out")
+    p.add_argument("--train", action="store_true",
+                   help="trace the TRAINING step (fwd+bwd+adamw, "
+                        "parallel/train_step.py) instead of the sampler — "
+                        "the VERDICT r3 #4 per-category bwd budget")
+    p.add_argument("--remat", action="store_true",
+                   help="--train: rematerialized EGNN blocks")
     args = p.parse_args()
 
-    if not args.parse_only:
+    if not args.parse_only and args.train:
+        import jax
+        import optax
+
+        from hierdiff_tpu.config import load_config
+        from hierdiff_tpu.data.synthetic import SyntheticTreeGenerator
+        from hierdiff_tpu.models.diffusion import CoarseDiffusion
+        from hierdiff_tpu.parallel import TrainState, make_train_step
+        from hierdiff_tpu.train.data_iters import coarse_iter, prefetch_to_device
+
+        cfg = load_config(None, [f"train.batch_size={args.batch}",
+                                 f"train.buckets=({args.max_n},)",
+                                 "train.num_train_trees=512"])
+        model = CoarseDiffusion(
+            in_node_nf=8, timesteps=1000, hidden_nf=256, n_layers=6,
+            inv_sublayers=2, noise_schedule="learned", remat=args.remat,
+            compute_dtype="bfloat16" if args.bf16 else None)
+        gen = SyntheticTreeGenerator(seed=0)
+        pool = gen.sample_trees(512, n=max(4, args.max_n - 4))
+        it = prefetch_to_device(coarse_iter(cfg, pool, seed=0), size=2)
+        first = next(it)
+        params = jax.jit(lambda r, b, r2: model.init(r, b, r2, train=True))(
+            jax.random.PRNGKey(0), first, jax.random.PRNGKey(1))
+
+        def loss_fn(p, b, rng):
+            return model.apply(p, b, rng, train=True)["loss"], {}
+
+        state = TrainState.create(params, optax.adamw(1e-4), ema_decay=0.999)
+        step_fn = make_train_step(loss_fn)
+        rng = jax.random.PRNGKey(2)
+        for _ in range(3):
+            state, m = step_fn(state, next(it), rng)
+        float(m["loss"])
+        with jax.profiler.trace(args.out):
+            for _ in range(args.reps):
+                state, m = step_fn(state, next(it), rng)
+            float(m["loss"])
+    elif not args.parse_only:
         import jax
         import jax.numpy as jnp
 
@@ -130,8 +173,9 @@ def main():
 
     # roofline: dot-bearing fusions vs everything else
     from bench import _egnn_matmul_flops
-    flops = (args.steps + 1) * _egnn_matmul_flops(args.batch, args.max_n,
-                                                  256, 6, 2) * args.reps
+    per_call = _egnn_matmul_flops(args.batch, args.max_n, 256, 6, 2)
+    # train: one fwd + bwd (~2x fwd) per step; sampler: steps+1 forwards
+    flops = (3.0 if args.train else (args.steps + 1)) * per_call * args.reps
     dot_cats = [c for c in cat_time if "convolution" in c or "dot" in c]
     t_dot = sum(cat_time[c] for c in dot_cats) / 1e6
     f_dot = sum(cat_flops[c] for c in dot_cats)

@@ -92,6 +92,9 @@ def main():
                         "(training-side analogue of scripts/batch_sweep.py)")
     p.add_argument("--batches", type=int, nargs="*", default=[64, 128, 256],
                    help="batch sizes for --sweep batch")
+    p.add_argument("--remat", action="store_true",
+                   help="--sweep batch: rematerialized EGNN blocks (HBM "
+                        "headroom for large batch x bucket products)")
     args = p.parse_args()
     if args.sweep == "levers":
         grid = [(b, args.batch, remat, prefetch, None) for b, remat, prefetch
@@ -101,7 +104,7 @@ def main():
         grid = [(b, args.batch, False, True, dt) for b, dt in
                 itertools.product(args.buckets, [None, "bfloat16"])]
     else:
-        grid = [(b, bs, False, True, "bfloat16") for b, bs in
+        grid = [(b, bs, args.remat, True, "bfloat16") for b, bs in
                 itertools.product(args.buckets, args.batches)]
     for bucket, batch, remat, prefetch, dtype in grid:
         sps, mfu = measure(bucket, batch, remat, prefetch, args.steps,
