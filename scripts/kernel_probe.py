@@ -18,7 +18,13 @@ import time
 import numpy as np
 
 
-def probe(b: int, n: int, hidden: int, reps: int):
+VARIANTS = [("xla", {}), ("pallas", {"use_pallas": True}),
+            ("xla-bf16", {"compute_dtype": "bfloat16"}),
+            ("pallas-bf16", {"use_pallas": True,
+                             "compute_dtype": "bfloat16"})]
+
+
+def probe(b: int, n: int, hidden: int, reps: int, variants=None):
     import jax
     import jax.numpy as jnp
 
@@ -41,10 +47,9 @@ def probe(b: int, n: int, hidden: int, reps: int):
     # per-call timing measures the link, not the kernel
     K = 64
     out = {}
-    for tag, kw in [("xla", {}), ("pallas", {"use_pallas": True}),
-                    ("xla-bf16", {"compute_dtype": "bfloat16"}),
-                    ("pallas-bf16", {"use_pallas": True,
-                                     "compute_dtype": "bfloat16"})]:
+    selected = [(t, kw) for t, kw in VARIANTS
+                if variants is None or t in variants]
+    for tag, kw in selected:
         m = DenseGCL(hidden, normalization_factor=10.0, attention=True, **kw)
 
         def chain(p, h0):
@@ -78,9 +83,14 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--variants", nargs="*", default=None,
+                   choices=[t for t, _ in VARIANTS],
+                   help="subset of variants to run (default: all four); "
+                        "lets a tile-budget sweep probe one kernel without "
+                        "dying on another variant's compile OOM")
     args = p.parse_args()
     for n in args.n:
-        probe(args.batch, n, args.hidden, args.reps)
+        probe(args.batch, n, args.hidden, args.reps, variants=args.variants)
 
 
 if __name__ == "__main__":
