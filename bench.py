@@ -242,14 +242,17 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
 
     gate = _synthetic_gate(gate_reject) if gate_reject > 0 else None
 
-    # refine-on search pipelining A/B knob (0 = lockstep single search)
+    # refine-on search pipelining A/B knobs (cap 0 = lockstep single
+    # search; merge 1 = one dispatch per group round)
     rgc = os.environ.get("HIERDIFF_REFINE_GROUP_CAP")
+    rgm = os.environ.get("HIERDIFF_REFINE_MERGE")
     pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
                               histogram=load_geom_histogram(), beam_size=beam,
                               refine_hook=refine_hook, can_assemble=gate,
                               sample_steps=steps or None,
                               sample_buckets=sample_buckets,
-                              refine_group_cap=int(rgc) if rgc else None)
+                              refine_group_cap=int(rgc) if rgc else None,
+                              refine_merge=int(rgm) if rgm else None)
     # same key for warmup and timing: molecule sizes (and thus the set of
     # compiled buckets) must match or compiles leak into the timed region
     pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False,

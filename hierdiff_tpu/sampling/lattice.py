@@ -129,7 +129,8 @@ class LatticeSampler:
                  max_chunk: Optional[int] = None,
                  buckets: Optional[Sequence[int]] = None,
                  native_search: bool = True,
-                 refine_group_cap: int = 32):
+                 refine_group_cap: int = 32,
+                 refine_merge: int = 8):
         """allowed_fn(blur_feats (n,F)) -> per-node allowed vocab index
         arrays (the array_dict/size restriction of ar_sampling.py:62-118);
         None disables the restriction (nosize variant).
@@ -146,7 +147,17 @@ class LatticeSampler:
         the refine-on fine stage is dispatch-LATENCY-bound on a tunneled
         TPU (~55+30 ms per round; BASELINE.md), and pipelining across
         groups hides it. 0 restores the single lockstep search (bit-exact
-        with the reference rng partitioning)."""
+        with the reference rng partitioning).
+
+        refine_merge: same-bucket groups are bundled into LANES of up to
+        this many groups that share ONE fused check dispatch per round
+        (their fleets are concatenated row-wise). The fused check program
+        is row-independent and lanes never straddle pad buckets, so lane
+        results are BIT-EXACT vs merge=1 (pinned:
+        test_refine_merge_matches_unmerged); merging only cuts the
+        per-round dispatch count — at 10k-sweep scale the refine overhead
+        is ~9 ms per dispatch even fully pipelined, so /merge is a direct
+        t_fine lever. 1 disables bundling."""
         if model.gated and not model.dynamic_depth:
             # inference: bound depth scans by actual tree depth (exact under
             # gated=True; see EdgeDenoise.dynamic_depth)
@@ -165,6 +176,7 @@ class LatticeSampler:
         self.buckets = tuple(buckets) if buckets else DEFAULT_BUCKETS
         self.native_search = native_search
         self.refine_group_cap = refine_group_cap
+        self.refine_merge = refine_merge
         self._fn_cache: Dict[tuple, Callable] = {}
 
     # --- device side ---------------------------------------------------------
@@ -352,8 +364,19 @@ class LatticeSampler:
             for i, r in zip(members, values):
                 results[i] = r
 
-        queue = deque()
-        for members in groups:
+        # group_bucket[i] = the sampler bucket group i was formed under —
+        # lanes never straddle buckets so that the merged dispatch's pad
+        # bucket equals every member group's own (all of a group's
+        # molecules sit in (prev_bucket, bucket], so the hook's nb is the
+        # group bucket whichever states are active) — that is what makes
+        # lane merging BIT-exact, not just pad-invariant-close
+        group_bucket = []
+        for nb, idxs in sorted(by_bucket.items()):
+            group_bucket.extend(
+                [nb] * -(-len(idxs) // self.refine_group_cap))
+
+        items = []   # live (bucket, gen, members, fleet) at their 1st yield
+        for members, gbucket in zip(groups, group_bucket):
             search = PQBeamSearch(
                 expander, beam_size=self.beam_size,
                 can_assemble=self.can_assemble, refine_hook=hook,
@@ -365,17 +388,45 @@ class LatticeSampler:
             except StopIteration as e:
                 finish(members, e.value)
                 continue
-            queue.append((gen, members, fleet, hook.dispatch_batch(fleet)))
+            items.append((gbucket, gen, members, fleet))
+
+        def dispatch_lane(lane):
+            # one fused dispatch for the whole lane: the fused check is
+            # row-independent, so concatenating same-bucket fleets is
+            # bit-exact per group while dividing the dispatch count
+            return hook.dispatch_batch(
+                [s for (_b, _g, _m, fleet) in lane for s in fleet])
+
+        # keep >=4 lanes in flight: merging trades dispatch COUNT for
+        # in-flight depth, and with few groups a big merge collapses the
+        # pipeline back into the lockstep latency chain it exists to avoid
+        merge = max(1, min(int(self.refine_merge or 1), len(items) // 4))
+        queue = deque()
+        lane: List[tuple] = []
+        for it in items:
+            if lane and (len(lane) >= merge or lane[0][0] != it[0]):
+                queue.append((lane, dispatch_lane(lane)))
+                lane = []
+            lane.append(it)
+        if lane:
+            queue.append((lane, dispatch_lane(lane)))
 
         while queue:
-            gen, members, fleet, token = queue.popleft()
-            checked = hook.collect_batch(token, fleet)
-            try:
-                fleet = gen.send(checked)
-            except StopIteration as e:
-                finish(members, e.value)
-                continue
-            queue.append((gen, members, fleet, hook.dispatch_batch(fleet)))
+            lane, token = queue.popleft()
+            states = [s for (_b, _g, _m, fleet) in lane for s in fleet]
+            checked = hook.collect_batch(token, states)
+            nxt, off = [], 0
+            for gbucket, gen, members, fleet in lane:
+                part = checked[off: off + len(fleet)]
+                off += len(fleet)
+                try:
+                    fleet = gen.send(part)
+                except StopIteration as e:
+                    finish(members, e.value)
+                    continue
+                nxt.append((gbucket, gen, members, fleet))
+            if nxt:
+                queue.append((nxt, dispatch_lane(nxt)))
         return results
 
     def _sample_native(self, blur_sets, lattices) -> List[Optional[TreeState]]:

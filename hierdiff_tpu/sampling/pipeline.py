@@ -35,7 +35,8 @@ def build_fine_sampler(denoise_model: EdgeDenoise, denoise_params, *,
                        beam_size: int = 5, can_assemble=None,
                        refine_hook=None, allowed_fn=None, mesh=None,
                        buckets: Optional[Sequence[int]] = None,
-                       refine_group_cap: Optional[int] = None):
+                       refine_group_cap: Optional[int] = None,
+                       refine_merge: Optional[int] = None):
     """Stage-2 sampler for a denoise model: the lattice sampler by default;
     the round-based ARSampler when type choices feed back into the
     trajectory (``vocab_conditioning``)."""
@@ -43,7 +44,11 @@ def build_fine_sampler(denoise_model: EdgeDenoise, denoise_params, *,
         return ARSampler(denoise_model, denoise_params, beam_size=beam_size,
                          can_assemble=can_assemble, refine_hook=refine_hook,
                          allowed_fn=allowed_fn, buckets=buckets)
-    kw = {} if refine_group_cap is None else {"refine_group_cap": refine_group_cap}
+    kw = {}
+    if refine_group_cap is not None:
+        kw["refine_group_cap"] = refine_group_cap
+    if refine_merge is not None:
+        kw["refine_merge"] = refine_merge
     return LatticeSampler(denoise_model, denoise_params, beam_size=beam_size,
                           can_assemble=can_assemble, refine_hook=refine_hook,
                           allowed_fn=allowed_fn, mesh=mesh, buckets=buckets,
@@ -73,7 +78,8 @@ class GenerationPipeline:
                  allowed_fn=None, mesh=None,
                  sample_steps: Optional[int] = None,
                  sample_buckets: Optional[Sequence[int]] = None,
-                 refine_group_cap: Optional[int] = None):
+                 refine_group_cap: Optional[int] = None,
+                 refine_merge: Optional[int] = None):
         """sample_steps: strided reverse-chain length (None = the model's
         full T; 100 measured 7.5x faster with indistinguishable sampled
         feature distributions — see BASELINE.md).
@@ -103,7 +109,7 @@ class GenerationPipeline:
             denoise_model, denoise_params, beam_size=beam_size,
             can_assemble=can_assemble, refine_hook=refine_hook,
             allowed_fn=allowed_fn, mesh=mesh, buckets=self.sample_buckets,
-            refine_group_cap=refine_group_cap)
+            refine_group_cap=refine_group_cap, refine_merge=refine_merge)
         self.int_nf = int_nf
         self.vocab = vocab
         self.max_n_cap = max_n_cap

@@ -652,3 +652,51 @@ def test_refine_pipelined_matches_sequential_groups(gen):
         np.testing.assert_array_equal(a.wids, b.wids)
         np.testing.assert_array_equal(a.adj, b.adj)
         assert a.logp == pytest.approx(b.logp, rel=1e-6)
+
+
+def test_refine_merge_matches_unmerged(gen):
+    """Lane merging (refine_merge>1) concatenates SAME-bucket fleets into
+    one fused dispatch per round. The fused check is row-independent and a
+    lane never straddles pad buckets, so results must match merge=1
+    exactly — merging may only change device batching, never semantics."""
+    import random as _random
+
+    from hierdiff_tpu.data.assets import load_vocab_fps, load_vocab_smiles
+    from hierdiff_tpu.sampling.lattice import LatticeSampler
+    from hierdiff_tpu.sampling.refine_hook import RefineHook
+
+    dmodel = EdgeDenoise(hidden_nf=32, n_layers_full=1, n_layers_focal=1)
+    dbatch = {k: jnp.asarray(v) for k, v in
+              make_denoise_batch(gen.sample_trees(2, n=6), random.Random(0),
+                                 max_n=8).items()}
+    dparams = jax.jit(dmodel.init)(jax.random.PRNGKey(0), dbatch)
+    rmodel = NodeRefine(hidden_size=32, n_layers=1)
+    rbatch = {k: jnp.asarray(v) for k, v in
+              make_refine_batch(gen.sample_trees(2, n=6), random.Random(1),
+                                max_n=8).items()}
+    rparams = jax.jit(rmodel.init)(jax.random.PRNGKey(1), rbatch)
+    vocab_sizes = np.array([int(round(load_vocab_fps()[s][3]))
+                            for s in load_vocab_smiles()])
+
+    # 16 molecules over two buckets -> 8 groups at cap 2; merge=4 bundles
+    # them into same-bucket lanes (the >=4-lanes floor allows merge 2 here,
+    # still exercising multi-group dispatch vs merge=1)
+    trees = gen.sample_trees(9, n=6) + gen.sample_trees(7, n=10)
+    blur = [{"x": t.pos, "h": t.feats} for t in trees]
+
+    out = {}
+    for merge in (1, 4):
+        hook = RefineHook(rmodel, rparams, vocab_sizes, check_frac=0.5)
+        sampler = LatticeSampler(dmodel, dparams, beam_size=2,
+                                 refine_hook=hook, rng=_random.Random(7),
+                                 refine_group_cap=2, refine_merge=merge)
+        out[merge] = sampler.sample(blur)
+
+    assert any(r is not None for r in out[1])
+    for a, b in zip(out[4], out[1]):
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(a.wids, b.wids)
+        np.testing.assert_array_equal(a.adj, b.adj)
+        assert a.logp == pytest.approx(b.logp, rel=1e-6)
