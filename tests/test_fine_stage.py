@@ -680,7 +680,12 @@ def test_refine_merge_matches_unmerged(gen):
 
     # 16 molecules over two buckets -> 8 groups at cap 2; merge=4 bundles
     # them into same-bucket lanes (the >=4-lanes floor allows merge 2 here,
-    # still exercising multi-group dispatch vs merge=1)
+    # still exercising multi-group dispatch vs merge=1). Gated like the
+    # reference (rejections drive beam backtracking, so lane merging must
+    # also preserve the gated walk).
+    from bench import _synthetic_gate
+    gate = _synthetic_gate(0.2)
+
     trees = gen.sample_trees(9, n=6) + gen.sample_trees(7, n=10)
     blur = [{"x": t.pos, "h": t.feats} for t in trees]
 
@@ -689,6 +694,7 @@ def test_refine_merge_matches_unmerged(gen):
         hook = RefineHook(rmodel, rparams, vocab_sizes, check_frac=0.5)
         sampler = LatticeSampler(dmodel, dparams, beam_size=2,
                                  refine_hook=hook, rng=_random.Random(7),
+                                 can_assemble=gate,
                                  refine_group_cap=2, refine_merge=merge)
         out[merge] = sampler.sample(blur)
 
