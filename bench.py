@@ -257,10 +257,24 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
     # compiled buckets) must match or compiles leak into the timed region
     pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False,
              batch_size=batch_size)  # compile
+    if refine_hook is not None:
+        refine_hook.stats = {k: type(v)() for k, v in refine_hook.stats.items()}
+    trace_dir = os.environ.get("HIERDIFF_BENCH_TRACE")
+    if trace_dir:
+        # profile exactly the timed (warm) run; parse with scripts/roofline
+        # --parse-only or the offline per-source recipe in BASELINE.md
+        jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
     result = pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False,
                       batch_size=batch_size)
     dt = time.perf_counter() - t0
+    if trace_dir:
+        jax.profiler.stop_trace()
+    if refine_hook is not None and os.environ.get("HIERDIFF_BENCH_STATS"):
+        # where the refine-on fine stage's wall goes (see RefineHook.stats)
+        print(json.dumps({"hook_stats": {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in refine_hook.stats.items()}}), flush=True)
     ok = sum(t is not None for t in result.trees)
     st = result.stats or {}
     n_steps = steps or coarse.timesteps

@@ -55,9 +55,14 @@ class RefineHook:
         self._support_cache: Dict[int, np.ndarray] = {}
         self._states_fn_cache: Dict[tuple, Callable] = {}
         self._size_table_cache: Optional[np.ndarray] = None
-        # lightweight perf counters (negligible overhead; refine_ab --stats)
+        # lightweight perf counters (negligible overhead; refine_ab --stats
+        # and HIERDIFF_BENCH_STATS=1 in bench.py). score_s = dispatch_s +
+        # collect_s for the fused path; collect_s is the BLOCKING readback
+        # wait (device execution still pending counts here), dispatch_s the
+        # host-side pack-and-enqueue cost.
         self.stats = {"pack_s": 0.0, "pack_calls": 0, "score_s": 0.0,
-                      "score_calls": 0, "score_rows": 0, "host_s": 0.0}
+                      "score_calls": 0, "score_rows": 0, "host_s": 0.0,
+                      "dispatch_s": 0.0, "collect_s": 0.0, "walk_s": 0.0}
 
     def _fn(self, n: int):
         if n not in self._fn_cache:
@@ -322,7 +327,9 @@ class RefineHook:
             dev.copy_to_host_async()
         except Exception:
             pass
-        self.stats["score_s"] += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        self.stats["score_s"] += dt
+        self.stats["dispatch_s"] += dt
         self.stats["score_calls"] += 1
         self.stats["score_rows"] += sp
         return dev
@@ -338,7 +345,9 @@ class RefineHook:
         wid_k = packed[:, 1 + K: 1 + 2 * K].astype(np.int64)
         valid = packed[:, 1 + 2 * K: 1 + 3 * K] > 0.5
         new_total = packed[:, 1 + 3 * K: 1 + 4 * K]
-        self.stats["score_s"] += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        self.stats["score_s"] += dt
+        self.stats["collect_s"] += dt
         return total, node_k, wid_k, valid, new_total
 
     def _run_fused(self, base, wids_rows: Sequence[np.ndarray],
@@ -462,11 +471,13 @@ class RefineHook:
         the first that raises the total (and passes the assembly gate) —
         identical accept semantics to the reference's sequential loop
         (model_refine.py:175-249)."""
+        import time as _time
         K, pending = token
         results: List[Tuple[TreeState, float, bool]] = [(s, 0.0, False) for s in states]
         for chunk, dev in pending:
             total_m, node_m, wid_m, valid_m, new_total_m = self._collect_fused(
                 dev, len(chunk), K)
+            t_walk = _time.perf_counter()
             for row, si in enumerate(chunk):
                 s = states[si]
                 total = total_m[row]
@@ -486,6 +497,7 @@ class RefineHook:
                         continue
                     results[si] = (perturbed, float(total - new_total), True)
                     break
+            self.stats["walk_s"] += _time.perf_counter() - t_walk
         return results
 
     def check_batch(self, states: List[TreeState]) -> List[Tuple[TreeState, float, bool]]:
