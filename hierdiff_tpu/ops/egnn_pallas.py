@@ -155,6 +155,13 @@ def fused_gcl(h: Array, edge_attr: Array, edge_mask: Array, node_mask: Array,
 
     kernel = functools.partial(_gcl_kernel, norm_factor=normalization_factor,
                                attention=attention, act_dtype=act_dtype)
+    # e / emask only enter the pipeline through bf16 casts (`_dot` operands;
+    # act-dtype multiply with exact 0/1 mask values), so bf16 input blocks
+    # are numerically IDENTICAL on both paths and halve those blocks' VMEM —
+    # the ~55 KB margin that lets the TB=2 tile fit the backend's fixed
+    # 16 MB scoped-VMEM limit (measured deficit at TB=2: 40.5 KB).
+    edge_attr = edge_attr.astype(jnp.bfloat16)
+    edge_mask = edge_mask.astype(jnp.bfloat16)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, hd), jnp.float32),
@@ -213,6 +220,11 @@ def fused_coord_update(h: Array, edge_attr: Array, coord_diff: Array, x: Array,
     kernel = functools.partial(_coord_kernel, norm_factor=normalization_factor,
                                tanh=tanh, coords_range=coords_range,
                                act_dtype=act_dtype)
+    # same VMEM trim as fused_gcl: e feeds `_dot` (bf16 operands) and the
+    # 0/1 emask promotes exactly — bit-identical, half the block bytes.
+    # cdiff / x stay f32 (position precision is load-bearing).
+    edge_attr = edge_attr.astype(jnp.bfloat16)
+    edge_mask = edge_mask.astype(jnp.bfloat16)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, 3), jnp.float32),

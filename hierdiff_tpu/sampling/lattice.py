@@ -130,7 +130,7 @@ class LatticeSampler:
                  buckets: Optional[Sequence[int]] = None,
                  native_search: bool = True,
                  refine_group_cap: int = 32,
-                 refine_merge: int = 8):
+                 refine_merge: int = 1):
         """allowed_fn(blur_feats (n,F)) -> per-node allowed vocab index
         arrays (the array_dict/size restriction of ar_sampling.py:62-118);
         None disables the restriction (nosize variant).
@@ -155,9 +155,12 @@ class LatticeSampler:
         is row-independent and lanes never straddle pad buckets, so lane
         results are BIT-EXACT vs merge=1 (pinned:
         test_refine_merge_matches_unmerged); merging only cuts the
-        per-round dispatch count — at 10k-sweep scale the refine overhead
-        is ~9 ms per dispatch even fully pipelined, so /merge is a direct
-        t_fine lever. 1 disables bundling."""
+        per-round dispatch count. Measured (BASELINE.md round-4): the
+        interleaved 2048-molecule A/B is NOISE-NEUTRAL across merge 1/8/16,
+        and the instrumented 1024-run split showed merged lanes WAIT LONGER
+        per readback (fewer independent dispatches in flight = less
+        device/host overlap), so 1 (no bundling) is the default; the knob
+        stays for many-small-group workloads."""
         if model.gated and not model.dynamic_depth:
             # inference: bound depth scans by actual tree depth (exact under
             # gated=True; see EdgeDenoise.dynamic_depth)

@@ -6,6 +6,7 @@ for a single layer application.
 """
 
 import os
+import re
 import subprocess
 import sys
 from pathlib import Path
@@ -39,7 +40,12 @@ def test_pallas_kernels_on_real_tpu_via_subprocess():
          "--deselect", f"{Path(__file__)}::test_pallas_kernels_on_real_tpu_via_subprocess"],
         env=env, capture_output=True, text=True, timeout=2400, cwd=repo)
     assert r.returncode == 0, f"TPU pallas tests failed:\n{r.stdout}\n{r.stderr}"
-    assert "4 passed" in r.stdout, f"expected all 4 kernel tests to RUN:\n{r.stdout}"
+    # every kernel test must RUN (a silent skip would pass vacuously); the
+    # one allowed skip is this meta-test guarding itself on the TPU side
+    m = re.search(r"(\d+) passed", r.stdout)
+    n_kernel_tests = 7  # 2x gcl f32 + coord f32 + model flag + 2x gcl bf16 + coord bf16
+    assert m and int(m.group(1)) >= n_kernel_tests, \
+        f"expected all {n_kernel_tests} kernel tests to RUN:\n{r.stdout}"
 
 
 def make_inputs(B, N, H, key=0):
