@@ -66,9 +66,13 @@ def _pick_tiles(b: int, n: int, h: int, elem_bytes: int = 4) -> Tuple[int, int]:
     measured as most of the bf16 kernel's gap to XLA).
 
     ``HIERDIFF_PALLAS_VMEM_KB`` overrides the per-block budget (in KB) for
-    tile-size experiments on real hardware without code edits; the default
-    1536 is the validated setting."""
-    budget = int(os.environ.get("HIERDIFF_PALLAS_VMEM_KB", "1536")) * 1024
+    tile-size experiments on real hardware without code edits. Default 2304:
+    at (B=256, N=48, H=256) that is the f32 single-row-chunk / bf16 TB=2
+    point — TPU-parity-validated and the same-window winner over the old
+    1536 (BASELINE.md round-4 Pallas section); 4608 (bf16 TB=4) is
+    IMPOSSIBLE — the compiled kernel needs 24.0 MB of scoped VMEM against
+    the backend's fixed 16 MB limit (measured compile error)."""
+    budget = int(os.environ.get("HIERDIFF_PALLAS_VMEM_KB", "2304")) * 1024
     per_row = n * h * elem_bytes
     ci = n
     tb = max(1, budget // max(ci * per_row, 1))

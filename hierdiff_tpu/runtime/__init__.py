@@ -98,6 +98,26 @@ def _load() -> Optional[ctypes.CDLL]:
         _u32p, ctypes.POINTER(ctypes.c_int32), _GATE_CB, ctypes.c_int32,
         _i64p, _i8p, _f64p]
 
+    lib.tk_rsearch_create.restype = ctypes.c_void_p
+    lib.tk_rsearch_create.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_double,
+        _i32p, _i64p, _i32p, _i32p, _i8p, _i64p, _f32p,
+        _u32p, ctypes.c_int32, _GATE_CB, _GATE_CB, ctypes.c_int32]
+
+    lib.tk_rsearch_step.restype = ctypes.c_int32
+    lib.tk_rsearch_step.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        _i32p, _i64p, _f32p]
+
+    lib.tk_rsearch_finish.restype = None
+    lib.tk_rsearch_finish.argtypes = [
+        ctypes.c_void_p, _u32p, ctypes.POINTER(ctypes.c_int32),
+        _i64p, _i8p, _f64p]
+
+    lib.tk_rsearch_destroy.restype = None
+    lib.tk_rsearch_destroy.argtypes = [ctypes.c_void_p]
+
     _lib = lib
     return lib
 
@@ -292,3 +312,129 @@ def beam_search_lattice_native(lattices, sizes, beam_size: int, rng,
     rng.setstate((version, tuple(int(v) for v in mt) + (int(pos.value),), gauss))
     return ([out_wids[int(offsets[i]): int(offsets[i]) + int(sizes32[i])]
              for i in range(m)], ok.astype(bool), logp)
+
+
+def _wrap_verdict(verdict, cb_error: list):
+    """Verdict -> native gate callback; exceptions are stashed (ctypes
+    swallows them and would return an undefined int) and re-raised by the
+    caller after the native call returns."""
+    if verdict is None:
+        return ctypes.cast(None, _GATE_CB)
+
+    @_GATE_CB
+    def _cb(wid, neis, n_nei):
+        if cb_error:
+            return 0
+        try:
+            return 1 if verdict(int(wid),
+                                tuple(neis[i] for i in range(n_nei))) else 0
+        except BaseException as e:   # noqa: BLE001 — re-raised by caller
+            cb_error.append(e)
+            return 0
+
+    return _cb
+
+
+class NativeRefineSearch:
+    """One molecule group's refine-on PQ beam search living in C++
+    (tk_rsearch_*): the C++ side owns the queues, walks/commits the fused
+    check results and expands; ``step`` returns the next active fleet for
+    the caller to pad + dispatch through RefineHook._fused_fn.
+
+    Bit-exact with the Python group search driven by
+    lattice._sample_refine_pipelined for the same rng seed (pinned in
+    tests/test_runtime.py). Lattice arrays are flattened once here and kept
+    alive for the handle's lifetime.
+    """
+
+    def __init__(self, lattices, members, sizes, beam_size: int, rng,
+                 max_n: int, check_frac: float, verdict=None,
+                 hook_verdict=None, retry_final_gate: bool = True,
+                 max_expansions_factor: int = 40):
+        """members: molecule indices (keys into ``lattices``); sizes: node
+        counts in member order. ``rng``'s Mersenne state seeds the tiebreak
+        stream (the throwaway per-group rng of the pipelined search)."""
+        lib = _load()
+        assert lib is not None
+        self._lib = lib
+        m = len(members)
+        self.n_mol = m
+        self.max_n = int(max_n)
+        sizes32 = np.asarray(sizes, np.int32)
+        offsets = np.zeros(m, np.int64)
+        offsets[1:] = np.cumsum(sizes32[:-1])
+        self.sizes = sizes32
+        self.offsets = offsets
+        k = lattices[members[0]].top_wid.shape[1]
+        trim = [(lattices[i], int(sizes32[j])) for j, i in enumerate(members)]
+        focal = np.ascontiguousarray(
+            np.concatenate([l.focal[:n] for l, n in trim]), np.int32)
+        target = np.ascontiguousarray(
+            np.concatenate([l.target[:n] for l, n in trim]), np.int32)
+        attach = np.ascontiguousarray(
+            np.concatenate([l.attach[:n] for l, n in trim]), np.uint8)
+        top_wid = np.ascontiguousarray(
+            np.concatenate([l.top_wid[:n] for l, n in trim]), np.int64)
+        top_logp = np.ascontiguousarray(
+            np.concatenate([l.top_logp[:n] for l, n in trim]), np.float32)
+        # keep every borrowed array + callback alive for the handle
+        self._keep = (focal, target, attach, top_wid, top_logp, sizes32,
+                      offsets)
+        self.cb_error: list = []
+        self._gate_cb = _wrap_verdict(verdict, self.cb_error)
+        self._hook_cb = _wrap_verdict(hook_verdict, self.cb_error)
+        version, state, gauss = rng.getstate()
+        mt = np.asarray(state[:624], np.uint32)
+        self.fleet_mol = np.zeros(m, np.int32)
+        self.fleet_wids = np.zeros((m, self.max_n), np.int64)
+        self.fleet_adj = np.zeros((m, self.max_n, self.max_n), np.float32)
+        self._handle = lib.tk_rsearch_create(
+            m, k, beam_size, max_expansions_factor, self.max_n,
+            float(check_frac), sizes32, offsets, focal, target, attach,
+            top_wid, top_logp, mt, int(state[624]), self._gate_cb,
+            self._hook_cb, 1 if retry_final_gate else 0)
+
+    def step(self, packed: Optional[np.ndarray], K: int) -> int:
+        """Advance one round. ``packed``: the previous fleet's fused-check
+        results, (S_prev, 1+4K) f32 in active-row order (None first call).
+        Returns the next active fleet's row count S (0 = done); rows are in
+        ``fleet_mol`` / ``fleet_wids`` / ``fleet_adj`` [:S]."""
+        if packed is None:
+            buf = ctypes.c_void_p(None)
+        else:
+            packed = np.ascontiguousarray(packed, np.float32)
+            buf = packed.ctypes.data_as(ctypes.c_void_p)
+        s = self._lib.tk_rsearch_step(self._handle, buf, int(K),
+                                      self.fleet_mol, self.fleet_wids,
+                                      self.fleet_adj)
+        if self.cb_error:
+            self.close()
+            raise self.cb_error[0]
+        return int(s)
+
+    def finish(self):
+        """(wids list per member (-1-filled on failure), ok bool (M,),
+        logp (M,) float64); destroys the handle."""
+        mt = np.zeros(624, np.uint32)
+        pos = ctypes.c_int32()
+        total = int(self.offsets[-1]) + int(self.sizes[-1])
+        out_wids = np.full(total, -1, np.int64)
+        ok = np.zeros(self.n_mol, np.uint8)
+        logp = np.zeros(self.n_mol, np.float64)
+        self._lib.tk_rsearch_finish(self._handle, mt, ctypes.byref(pos),
+                                    out_wids, ok, logp)
+        self.close()
+        return ([out_wids[int(self.offsets[i]):
+                          int(self.offsets[i]) + int(self.sizes[i])]
+                 for i in range(self.n_mol)], ok.astype(bool), logp)
+
+    def close(self):
+        if self._handle:
+            self._lib.tk_rsearch_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -471,6 +471,373 @@ void beam_search_impl(
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Round-based REFINE-ON PQ beam search (the reference's full search loop:
+// ar_sampling_nosize.py:138-143 refine on every pop + :199-200 gates).
+//
+// C++ owns everything the host does between device dispatches: the
+// per-molecule priority queues, fleet formation, the packed-result walk
+// (swap commit + assembly gates, sampling/refine_hook.py collect_batch) and
+// the lattice expansions (sampling/beam.py run_rounds). Python owns ONLY the
+// fused device check per round: tk_rsearch_step returns the active fleet
+// (mol index + wids row + adjacency, ready to pad and ship), Python runs
+// RefineHook._fused_fn and feeds the ONE packed f32 result matrix back in.
+//
+// Bit-exactness contract with the Python pipelined search
+// (lattice.py _sample_refine_pipelined; pinned in tests/test_runtime.py):
+//   - priorities are IEEE doubles accumulated in the same association order
+//     (refine requeue: logp + (dlogp + tiebreak); expansion:
+//     (logp + (-lp)) + tiebreak), with the walk's total/new_total kept in
+//     float32 exactly like the numpy unpack;
+//   - the rng tiebreak stream CONTINUES the group's random.Random Mersenne
+//     state, drawn in run_rounds order (changed requeues in fleet order,
+//     then per-child expansion draws);
+//   - refine swaps append leaf-side chain links, and the chain walk is
+//     FIRST-wins (most recent assignment), so a node's wid history costs
+//     one arena slot per swap instead of an O(n) copy per candidate.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct RChain {
+  int64_t parent;   // arena index, -1 = chain end
+  int32_t node;     // typed node (target[step] for expansions, swap node)
+  int32_t wid;
+};
+
+struct REntry {
+  double logp;
+  uint64_t push;
+  int32_t t;        // nodes assigned (swaps never change it)
+  int64_t chain;
+  uint8_t is_root;  // last_edge is None (init state or root-typing child)
+};
+
+inline bool rentry_less(const REntry& a, const REntry& b) {
+  return a.logp != b.logp ? a.logp < b.logp : a.push < b.push;
+}
+
+inline void rchain_wids(const std::vector<RChain>& arena, int64_t chain,
+                        std::vector<int64_t>& w) {
+  // leaf-to-root, FIRST-wins: swap links sit leaf-side of the node's
+  // original assignment, so the most recent wid is seen first
+  std::fill(w.begin(), w.end(), (int64_t)-1);
+  for (int64_t c = chain; c >= 0; c = arena[c].parent)
+    if (w[arena[c].node] < 0) w[arena[c].node] = arena[c].wid;
+}
+
+struct RSearch {
+  int32_t n_mol = 0, k = 0, beam_size = 0, max_n = 0;
+  double check_frac = 0.1;
+  int32_t retry_final_gate = 1;
+  GateCB gate = nullptr;        // search gate (candidates + final)
+  GateCB hook_gate = nullptr;   // refine-walk gate (RefineHook.can_assemble)
+  // borrowed lattice pointers — the Python wrapper keeps them alive
+  const int32_t* sizes = nullptr;
+  const int64_t* offsets = nullptr;
+  const int32_t* focal = nullptr;
+  const int32_t* target = nullptr;
+  const uint8_t* attach = nullptr;
+  const int64_t* top_wid = nullptr;
+  const float* top_logp = nullptr;
+  std::vector<uint32_t> mt;
+  PyMT rng{nullptr, 0};
+  std::vector<std::vector<RChain>> arenas;
+  std::vector<std::vector<REntry>> heaps;
+  std::vector<int64_t> budget;
+  std::vector<uint8_t> finished;
+  uint64_t push_count = 0;
+  GateMemo gate_memo, hook_memo;
+  // current fleet (run_rounds' to_expand, fleet order) + its active subset
+  std::vector<int32_t> fleet_mol;
+  std::vector<REntry> fleet_entry;
+  std::vector<int32_t> active;   // active fleet positions == device rows
+  std::vector<int64_t> out_wids_v;
+  std::vector<uint8_t> ok_v;
+  std::vector<double> logp_v;
+  std::vector<int64_t> wids_scratch, nei_scratch;
+};
+
+void rs_prune(RSearch& S, int m) {
+  // beam.py _prune: keep ALL root-step entries + the (beam - #roots)
+  // cheapest attach-step entries
+  auto& heap = S.heaps[m];
+  int n_roots = 0;
+  for (const auto& e : heap) n_roots += e.is_root;
+  int keep = S.beam_size - n_roots;
+  if (keep < 0) keep = 0;
+  std::vector<REntry> roots, rest;
+  roots.reserve(n_roots);
+  rest.reserve(heap.size());
+  for (const auto& e : heap) (e.is_root ? roots : rest).push_back(e);
+  if ((int)rest.size() > keep) {
+    std::sort(rest.begin(), rest.end(), rentry_less);
+    rest.resize(keep);
+  }
+  roots.insert(roots.end(), rest.begin(), rest.end());
+  heap.swap(roots);
+}
+
+void rs_expand(RSearch& S, int m, const REntry& e) {
+  const int n = S.sizes[m];
+  const int64_t off = S.offsets[m];
+  S.budget[m] -= 1;
+  const int64_t row = (off + e.t) * S.k;
+  const int kk = S.beam_size < S.k ? S.beam_size : S.k;
+  const uint8_t att = S.attach[off + e.t];
+  const bool need_wids = S.gate && att;
+  if (need_wids) {
+    S.wids_scratch.assign(n, -1);
+    rchain_wids(S.arenas[m], e.chain, S.wids_scratch);
+  }
+  for (int c = 0; c < kk; ++c) {
+    double lp = (double)S.top_logp[row + c];
+    if (lp < -1e8) continue;             // outside restricted support
+    if (need_wids) {
+      // per-candidate gate on the CHILD's focal node, BEFORE the tiebreak
+      // draw (beam.py:253-255)
+      S.wids_scratch[S.target[off + e.t]] = S.top_wid[row + c];
+      bool ok = gate_node(S.gate, S.gate_memo, S.wids_scratch, S.focal,
+                          S.target, S.attach, off, e.t + 1,
+                          S.focal[off + e.t], S.nei_scratch);
+      S.wids_scratch[S.target[off + e.t]] = -1;
+      if (!ok) continue;
+    }
+    double child = e.logp + (-lp) + 1e-8 * S.rng.res53();
+    S.arenas[m].push_back(RChain{e.chain, S.target[off + e.t],
+                                 (int32_t)S.top_wid[row + c]});
+    S.heaps[m].push_back(REntry{child, ++S.push_count, e.t + 1,
+                                (int64_t)S.arenas[m].size() - 1,
+                                (uint8_t)(att ? 0 : 1)});
+  }
+  rs_prune(S, m);
+}
+
+// Walk the previous round's packed results (RefineHook.collect_batch +
+// run_rounds' checked loop): commit the first improving, gate-passing swap
+// per ACTIVE row and requeue it; everything else goes to `expand_list` in
+// fleet order.
+void rs_apply(RSearch& S, const float* packed, int32_t Kc,
+              std::vector<int32_t>& expand_list) {
+  size_t arow = 0;
+  for (size_t f = 0; f < S.fleet_mol.size(); ++f) {
+    const int m = S.fleet_mol[f];
+    const REntry& e = S.fleet_entry[f];
+    const bool is_active =
+        arow < S.active.size() && S.active[arow] == (int32_t)f;
+    bool changed = false;
+    if (is_active) {
+      const float* row = packed + arow * (size_t)(1 + 4 * Kc);
+      ++arow;
+      const float total = row[0];         // float32 walk arithmetic, exactly
+      const int n = S.sizes[m];           // like the numpy unpack
+      const int64_t off = S.offsets[m];
+      for (int kc = 0; kc < Kc; ++kc) {
+        if (!(row[1 + 2 * Kc + kc] > 0.5f)) continue;     // valid flag
+        const float new_total = row[1 + 3 * Kc + kc];
+        if (new_total <= total) continue;
+        const int node = (int32_t)row[1 + kc];
+        const int wid = (int32_t)row[1 + Kc + kc];
+        S.wids_scratch.assign(n, -1);
+        rchain_wids(S.arenas[m], e.chain, S.wids_scratch);
+        S.wids_scratch[node] = wid;
+        if (S.hook_gate &&
+            !gate_node(S.hook_gate, S.hook_memo, S.wids_scratch, S.focal,
+                       S.target, S.attach, off, e.t, node, S.nei_scratch))
+          continue;
+        // run_rounds: state.logp += (dlogp + uniform) — one added pair
+        const double dlogp = (double)(total - new_total);
+        S.arenas[m].push_back(RChain{e.chain, node, wid});
+        S.heaps[m].push_back(REntry{
+            e.logp + (dlogp + 1e-8 * S.rng.res53()), ++S.push_count, e.t,
+            (int64_t)S.arenas[m].size() - 1, e.is_root});
+        changed = true;
+        break;
+      }
+    }
+    if (!changed) expand_list.push_back((int32_t)f);
+  }
+}
+
+// Advance to the next ACTIVE fleet; returns its row count (0 = search done).
+int32_t rs_next_fleet(RSearch& S, int32_t* fleet_mol_out, int64_t* fleet_wids,
+                      float* fleet_adj) {
+  while (true) {
+    S.fleet_mol.clear();
+    S.fleet_entry.clear();
+    S.active.clear();
+    bool any = false;
+    std::vector<std::pair<int, REntry>> pops;
+    for (int m = 0; m < S.n_mol; ++m) {
+      if (S.finished[m] || S.heaps[m].empty() || S.budget[m] <= 0) {
+        if (!S.arenas[m].empty() || !S.heaps[m].empty()) {
+          std::vector<RChain>().swap(S.arenas[m]);
+          std::vector<REntry>().swap(S.heaps[m]);
+        }
+        continue;
+      }
+      any = true;
+      size_t mi = 0;
+      for (size_t i = 1; i < S.heaps[m].size(); ++i)
+        if (rentry_less(S.heaps[m][i], S.heaps[m][mi])) mi = i;
+      pops.emplace_back(m, S.heaps[m][mi]);
+      S.heaps[m].erase(S.heaps[m].begin() + mi);
+    }
+    if (!any) return 0;
+
+    for (auto& pe : pops) {
+      const int m = pe.first;
+      const REntry& e = pe.second;
+      const int n = S.sizes[m];
+      if (e.t >= n) {          // completed: accept on pop if final gate ok
+        bool accept = true;
+        S.wids_scratch.assign(n, -1);
+        rchain_wids(S.arenas[m], e.chain, S.wids_scratch);
+        if (S.gate) {
+          for (int i = 0; i < n && accept; ++i)
+            accept = gate_node(S.gate, S.gate_memo, S.wids_scratch, S.focal,
+                               S.target, S.attach, S.offsets[m], e.t, i,
+                               S.nei_scratch);
+        }
+        if (accept) {
+          S.finished[m] = 1;
+          S.ok_v[m] = 1;
+          S.logp_v[m] = e.logp;
+          for (int i = 0; i < n; ++i)
+            S.out_wids_v[S.offsets[m] + i] = S.wids_scratch[i];
+          std::vector<RChain>().swap(S.arenas[m]);
+          std::vector<REntry>().swap(S.heaps[m]);
+        } else if (!S.retry_final_gate) {
+          S.budget[m] = 0;     // reference: molecule yields nothing
+        }
+        continue;
+      }
+      S.fleet_mol.push_back(m);
+      S.fleet_entry.push_back(e);
+    }
+    if (S.fleet_mol.empty()) continue;   // only done-pops this round
+
+    // hook act filter (dispatch_batch): n_assigned * check_frac > 1
+    for (size_t f = 0; f < S.fleet_mol.size(); ++f)
+      if ((double)S.fleet_entry[f].t * S.check_frac > 1.0)
+        S.active.push_back((int32_t)f);
+    if (S.active.empty()) {
+      // no device work: check_batch returns all-unchanged, whole fleet
+      // expands immediately
+      for (size_t f = 0; f < S.fleet_mol.size(); ++f)
+        rs_expand(S, S.fleet_mol[f], S.fleet_entry[f]);
+      continue;
+    }
+
+    for (size_t r = 0; r < S.active.size(); ++r) {
+      const int f = S.active[r];
+      const int m = S.fleet_mol[f];
+      const int n = S.sizes[m];
+      const int64_t off = S.offsets[m];
+      fleet_mol_out[r] = m;
+      int64_t* wrow = fleet_wids + r * (size_t)S.max_n;
+      S.wids_scratch.assign(n, -1);
+      rchain_wids(S.arenas[m], S.fleet_entry[f].chain, S.wids_scratch);
+      for (int i = 0; i < n; ++i) wrow[i] = S.wids_scratch[i];
+      for (int i = n; i < S.max_n; ++i) wrow[i] = -1;  // pad reads unassigned
+      float* arow2 = fleet_adj + r * (size_t)S.max_n * S.max_n;
+      std::memset(arow2, 0, sizeof(float) * (size_t)S.max_n * S.max_n);
+      for (int32_t s = 0; s < S.fleet_entry[f].t; ++s) {
+        if (!S.attach[off + s]) continue;
+        const int a = S.focal[off + s], b = S.target[off + s];
+        arow2[(size_t)a * S.max_n + b] = 1.f;
+        arow2[(size_t)b * S.max_n + a] = 1.f;
+      }
+    }
+    return (int32_t)S.active.size();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Create a refine-search over one molecule group. Lattice pointers are
+// BORROWED (caller keeps the arrays alive until tk_rsearch_destroy).
+// mt_state (624 u32) + mt_pos: the group rng's CPython Mersenne state
+// (copied in; read back via tk_rsearch_finish).
+void* tk_rsearch_create(
+    int32_t n_mol, int32_t k, int32_t beam_size, int32_t max_exp_factor,
+    int32_t max_n, double check_frac,
+    const int32_t* sizes, const int64_t* offsets,
+    const int32_t* focal, const int32_t* target, const uint8_t* attach,
+    const int64_t* top_wid, const float* top_logp,
+    const uint32_t* mt_state, int32_t mt_pos,
+    GateCB gate, GateCB hook_gate, int32_t retry_final_gate) {
+  RSearch* S = new RSearch();
+  S->n_mol = n_mol;
+  S->k = k;
+  S->beam_size = beam_size;
+  S->max_n = max_n;
+  S->check_frac = check_frac;
+  S->retry_final_gate = retry_final_gate;
+  S->gate = gate;
+  S->hook_gate = hook_gate;
+  S->sizes = sizes;
+  S->offsets = offsets;
+  S->focal = focal;
+  S->target = target;
+  S->attach = attach;
+  S->top_wid = top_wid;
+  S->top_logp = top_logp;
+  S->mt.assign(mt_state, mt_state + 624);
+  S->rng = PyMT{S->mt.data(), mt_pos};
+  S->arenas.resize(n_mol);
+  S->heaps.resize(n_mol);
+  S->budget.resize(n_mol);
+  S->finished.assign(n_mol, 0);
+  S->ok_v.assign(n_mol, 0);
+  S->logp_v.assign(n_mol, 0.0);
+  const int64_t total = offsets[n_mol - 1] + sizes[n_mol - 1];
+  S->out_wids_v.assign(total, -1);
+  for (int m = 0; m < n_mol; ++m) {
+    S->heaps[m].push_back(REntry{0.0, ++S->push_count, 0, -1, 1});
+    S->budget[m] = (int64_t)max_exp_factor * sizes[m];
+  }
+  return S;
+}
+
+// Advance one round: apply the previous fleet's packed check results
+// (NULL on the first call), then form the next ACTIVE fleet. Returns the
+// fleet row count S (0 = done); writes S rows into fleet_mol (S,),
+// fleet_wids (S, max_n) int64 (-1 pad) and fleet_adj (S, max_n, max_n) f32.
+// `packed` is (S_prev, 1 + 4*Kc) f32 — RefineHook._fused_fn's layout
+// [total, node*K, wid*K, valid*K, new_total*K], rows in fleet-active order.
+int32_t tk_rsearch_step(void* handle, const float* packed, int32_t Kc,
+                        int32_t* fleet_mol, int64_t* fleet_wids,
+                        float* fleet_adj) {
+  RSearch& S = *(RSearch*)handle;
+  if (packed != nullptr) {
+    std::vector<int32_t> expand_list;
+    rs_apply(S, packed, Kc, expand_list);
+    for (int32_t f : expand_list)
+      rs_expand(S, S.fleet_mol[f], S.fleet_entry[f]);
+  }
+  return rs_next_fleet(S, fleet_mol, fleet_wids, fleet_adj);
+}
+
+// Read results + the advanced rng state. out_wids is flattened by `offsets`
+// (-1 where unfinished/unassigned).
+void tk_rsearch_finish(void* handle, uint32_t* mt_state, int32_t* mt_pos,
+                       int64_t* out_wids, uint8_t* out_ok, double* out_logp) {
+  RSearch& S = *(RSearch*)handle;
+  std::memcpy(mt_state, S.mt.data(), sizeof(uint32_t) * 624);
+  *mt_pos = S.rng.idx;
+  std::memcpy(out_wids, S.out_wids_v.data(),
+              sizeof(int64_t) * S.out_wids_v.size());
+  std::memcpy(out_ok, S.ok_v.data(), S.ok_v.size());
+  std::memcpy(out_logp, S.logp_v.data(), sizeof(double) * S.logp_v.size());
+}
+
+void tk_rsearch_destroy(void* handle) { delete (RSearch*)handle; }
+
+}  // extern "C"
+
 extern "C" {
 
 // Inputs are flattened over molecules (node offsets in `offsets`):

@@ -24,6 +24,7 @@ fine stage.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -304,6 +305,21 @@ class LatticeSampler:
             if runtime.treekit_available():
                 return self._sample_native(blur_sets, lattices)
         if self.refine_hook is not None and self.refine_group_cap:
+            hook_gate = self.refine_hook.can_assemble
+            # native eligibility: gates must be verdict-style (pure functions
+            # of (wid, sorted neighbor wids) the C++ can memoize over a
+            # callback), and the hook must pad with the SAME bucket set — the
+            # Python path derives each dispatch's pad from hook.buckets, and
+            # bit-parity needs the native group bucket to equal it
+            if (self.native_search
+                    and os.environ.get("HIERDIFF_REFINE_NATIVE", "1") != "0"
+                    and tuple(self.refine_hook.buckets) == self.buckets
+                    and (self.can_assemble is None
+                         or hasattr(self.can_assemble, "verdict"))
+                    and (hook_gate is None or hasattr(hook_gate, "verdict"))):
+                from hierdiff_tpu import runtime
+                if runtime.treekit_available():
+                    return self._sample_refine_native(blur_sets, lattices)
             return self._sample_refine_pipelined(blur_sets, lattices)
         search = PQBeamSearch(
             LatticeExpander(lattices), beam_size=self.beam_size,
@@ -350,14 +366,13 @@ class LatticeSampler:
         from collections import deque
 
         master = self.rng if self.rng is not None else _random.Random(2022)
-        by_bucket: Dict[int, List[int]] = {}
-        for idx, jt in enumerate(blur_sets):
-            by_bucket.setdefault(
-                bucket_for(jt["h"].shape[0], self.buckets), []).append(idx)
-        groups: List[List[int]] = []
-        for nb, idxs in sorted(by_bucket.items()):
-            for c0 in range(0, len(idxs), self.refine_group_cap):
-                groups.append(idxs[c0: c0 + self.refine_group_cap])
+        # group bucket = the sampler bucket the group was formed under —
+        # lanes never straddle buckets so that the merged dispatch's pad
+        # bucket equals every member group's own (all of a group's
+        # molecules sit in (prev_bucket, bucket], so the hook's nb is the
+        # group bucket whichever states are active) — that is what makes
+        # lane merging BIT-exact, not just pad-invariant-close
+        group_defs = self._refine_groups(blur_sets)
 
         hook = self.refine_hook
         expander = LatticeExpander(lattices)
@@ -367,19 +382,8 @@ class LatticeSampler:
             for i, r in zip(members, values):
                 results[i] = r
 
-        # group_bucket[i] = the sampler bucket group i was formed under —
-        # lanes never straddle buckets so that the merged dispatch's pad
-        # bucket equals every member group's own (all of a group's
-        # molecules sit in (prev_bucket, bucket], so the hook's nb is the
-        # group bucket whichever states are active) — that is what makes
-        # lane merging BIT-exact, not just pad-invariant-close
-        group_bucket = []
-        for nb, idxs in sorted(by_bucket.items()):
-            group_bucket.extend(
-                [nb] * -(-len(idxs) // self.refine_group_cap))
-
         items = []   # live (bucket, gen, members, fleet) at their 1st yield
-        for members, gbucket in zip(groups, group_bucket):
+        for members, gbucket in group_defs:
             search = PQBeamSearch(
                 expander, beam_size=self.beam_size,
                 can_assemble=self.can_assemble, refine_hook=hook,
@@ -448,25 +452,167 @@ class LatticeSampler:
         wids, ok, logp = runtime.beam_search_lattice_native(
             lattices, sizes, self.beam_size, rng, verdict=verdict,
             retry_final_gate=self.retry_final_gate)
-        out: List[Optional[TreeState]] = []
-        for i, jt in enumerate(blur_sets):
-            if not ok[i]:
-                out.append(None)
-                continue
-            n = sizes[i]
-            lat = lattices[i]
-            adj = np.zeros((n, n), np.float32)
-            last_edge = None
-            for t in range(n):
-                if lat.attach[t]:
-                    f, tg = int(lat.focal[t]), int(lat.target[t])
-                    adj[f, tg] = adj[tg, f] = 1.0
-                    last_edge = (f, tg)
-            if last_edge is None and n > 0:
-                adj[0, 0] = 1.0     # n==1: the root marker is never cleared
-            out.append(TreeState(
-                feats=np.asarray(jt["h"], np.float32),
-                pos=np.asarray(jt["x"], np.float32),
-                adj=adj, wids=wids[i], logp=float(logp[i]), index=i,
-                last_edge=last_edge))
+        return [self._tree_from_lattice(blur_sets, lattices, i, wids[i],
+                                        float(logp[i])) if ok[i] else None
+                for i in range(len(blur_sets))]
+
+    @staticmethod
+    def _tree_from_lattice(blur_sets, lattices, i: int, wids: np.ndarray,
+                           logp: float) -> TreeState:
+        """Completed TreeState from a finished native search: topology is the
+        full lattice trajectory, wids/logp come from the search."""
+        jt = blur_sets[i]
+        n = jt["h"].shape[0]
+        lat = lattices[i]
+        adj = np.zeros((n, n), np.float32)
+        last_edge = None
+        for t in range(n):
+            if lat.attach[t]:
+                f, tg = int(lat.focal[t]), int(lat.target[t])
+                adj[f, tg] = adj[tg, f] = 1.0
+                last_edge = (f, tg)
+        if last_edge is None and n > 0:
+            adj[0, 0] = 1.0     # n==1: the root marker is never cleared
+        return TreeState(
+            feats=np.asarray(jt["h"], np.float32),
+            pos=np.asarray(jt["x"], np.float32),
+            adj=adj, wids=wids, logp=logp, index=i, last_edge=last_edge)
+
+    def _refine_groups(self, blur_sets) -> List[tuple]:
+        """(members, bucket) groups for the refine-on searches: molecules
+        grouped by pad bucket, <= refine_group_cap per group. Shared by the
+        Python pipelined and the native (C++) search so their group seeds
+        (master.getrandbits(64) in group order) partition identically."""
+        by_bucket: Dict[int, List[int]] = {}
+        for idx, jt in enumerate(blur_sets):
+            by_bucket.setdefault(
+                bucket_for(jt["h"].shape[0], self.buckets), []).append(idx)
+        out: List[tuple] = []
+        for nb, idxs in sorted(by_bucket.items()):
+            for c0 in range(0, len(idxs), self.refine_group_cap):
+                out.append((idxs[c0: c0 + self.refine_group_cap], nb))
         return out
+
+    def _sample_refine_native(self, blur_sets, lattices
+                              ) -> List[Optional[TreeState]]:
+        """Refine-on search with the whole HOST side in C++
+        (runtime.NativeRefineSearch over treekit tk_rsearch_*): per group,
+        the native state machine owns the priority queues, the packed-result
+        walk (swap commit + gates) and the lattice expansions; Python only
+        pads each returned fleet and runs RefineHook._fused_fn — ONE fused
+        dispatch per group round, pipelined round-robin across groups
+        exactly like ``_sample_refine_pipelined`` (whose host share —
+        ~40% of t_fine at 1024 molecules, BASELINE.md — this removes).
+
+        BIT-EXACT with the Python pipelined search for the same seed
+        (pinned: tests/test_runtime.py test_native_refine_search_parity):
+        same grouping/seed partition, same fleet composition per round, and
+        the fused-check inputs are identical, so the device results and the
+        walk/expansion decisions coincide stream-for-stream."""
+        import random as _random
+        import time as _time
+        from collections import deque
+
+        from hierdiff_tpu import runtime
+
+        master = self.rng if self.rng is not None else _random.Random(2022)
+        hook = self.refine_hook
+        table = jnp.asarray(hook._size_table())
+        verdict = getattr(self.can_assemble, "verdict", None)
+        hook_verdict = (getattr(hook.can_assemble, "verdict", None)
+                        if hook.can_assemble is not None else None)
+        results: List[Optional[TreeState]] = [None] * len(blur_sets)
+
+        def finish(g):
+            wids_list, ok, logp = g["ns"].finish()
+            for r, i in enumerate(g["members"]):
+                if ok[r]:
+                    results[i] = self._tree_from_lattice(
+                        blur_sets, lattices, i, wids_list[r], float(logp[r]))
+
+        def dispatch(g):
+            """Pad + dispatch the group's active fleet; mirrors
+            RefineHook.dispatch_batch's chunking (all chunks enqueued with
+            eager readbacks before any is collected)."""
+            t0 = _time.perf_counter()
+            ns, nb, K, s_rows = g["ns"], g["bucket"], g["K"], g["S"]
+            mol = ns.fleet_mol[:s_rows]
+            max_states = max(1, 8192 // (nb * (1 + K)))
+            pending = []
+            for c0 in range(0, s_rows, max_states):
+                c1 = min(s_rows, c0 + max_states)
+                cnt = c1 - c0
+                sp = _next_pow2(cnt)
+                rows = mol[c0:c1]
+                feats = np.zeros((sp, nb, g["feats"].shape[2]), np.float32)
+                pos = np.zeros((sp, nb, 3), np.float32)
+                nmask = np.zeros((sp, nb, 1), np.float32)
+                feats[:cnt] = g["feats"][rows]
+                pos[:cnt] = g["pos"][rows]
+                nmask[:cnt] = g["nmask"][rows]
+                wids = np.full((sp, nb), -1, np.int64)
+                wids[:cnt] = ns.fleet_wids[c0:c1]
+                adj = np.zeros((sp, nb, nb), np.float32)
+                adj[:cnt] = ns.fleet_adj[c0:c1]
+                t1 = _time.perf_counter()
+                hook.stats["pack_s"] += t1 - t0
+                hook.stats["pack_calls"] += 1
+                dev = hook._fused_fn(nb, sp)(
+                    hook.params, jnp.asarray(feats), jnp.asarray(wids),
+                    jnp.asarray(pos), jnp.asarray(adj), jnp.asarray(nmask),
+                    table)
+                try:
+                    dev.copy_to_host_async()
+                except Exception:
+                    pass
+                t0 = _time.perf_counter()
+                hook.stats["dispatch_s"] += t0 - t1
+                hook.stats["score_s"] += t0 - t1
+                hook.stats["score_calls"] += 1
+                hook.stats["score_rows"] += sp
+                pending.append((cnt, dev))
+            return pending
+
+        queue = deque()
+        for members, gbucket in self._refine_groups(blur_sets):
+            grng = _random.Random(master.getrandbits(64))
+            sizes = [blur_sets[i]["h"].shape[0] for i in members]
+            f = blur_sets[members[0]]["h"].shape[1]
+            feats = np.zeros((len(members), gbucket, f), np.float32)
+            pos = np.zeros((len(members), gbucket, 3), np.float32)
+            nmask = np.zeros((len(members), gbucket, 1), np.float32)
+            for r, i in enumerate(members):
+                n = sizes[r]
+                feats[r, :n] = blur_sets[i]["h"]
+                pos[r, :n] = blur_sets[i]["x"]
+                nmask[r, :n] = 1.0
+            g = {"members": members, "bucket": gbucket,
+                 "K": max(1, int(gbucket * hook.check_frac)),
+                 "feats": feats, "pos": pos, "nmask": nmask,
+                 "ns": runtime.NativeRefineSearch(
+                     lattices, members, sizes, self.beam_size, grng, gbucket,
+                     hook.check_frac, verdict=verdict,
+                     hook_verdict=hook_verdict,
+                     retry_final_gate=self.retry_final_gate)}
+            g["S"] = g["ns"].step(None, g["K"])
+            if g["S"] == 0:
+                finish(g)
+                continue
+            queue.append((g, dispatch(g)))
+
+        while queue:
+            g, pending = queue.popleft()
+            t0 = _time.perf_counter()
+            packed = np.concatenate(
+                [np.asarray(dev)[:cnt] for cnt, dev in pending]
+            ) if pending else None
+            t1 = _time.perf_counter()
+            hook.stats["collect_s"] += t1 - t0
+            hook.stats["score_s"] += t1 - t0
+            g["S"] = g["ns"].step(packed, g["K"])
+            hook.stats["walk_s"] += _time.perf_counter() - t1
+            if g["S"] == 0:
+                finish(g)
+                continue
+            queue.append((g, dispatch(g)))
+        return results

@@ -589,12 +589,16 @@ def test_refine_hook_bucket_pad_invariance(gen):
         assert np.array_equal(out[12][1][row][a], out[16][1][row][a])
 
 
-def test_refine_pipelined_matches_sequential_groups(gen):
+def test_refine_pipelined_matches_sequential_groups(gen, monkeypatch):
     """The pipelined refine-on orchestrator (_sample_refine_pipelined) is
     bit-exact vs running each molecule group's search SEQUENTIALLY with the
     same per-group rng seeds — pipelining changes only which fused dispatch
     is in flight, never the execution order within a group."""
     import random as _random
+
+    # pin the PYTHON pipelined path (the native C++ search has its own
+    # bit-parity pin, tests/test_runtime.py test_native_refine_search_parity)
+    monkeypatch.setenv("HIERDIFF_REFINE_NATIVE", "0")
 
     from hierdiff_tpu.data.assets import load_vocab_fps, load_vocab_smiles
     from hierdiff_tpu.data.collate import bucket_for

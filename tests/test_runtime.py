@@ -327,3 +327,120 @@ def test_stale_library_rebuilds_from_source(tmp_path):
     finally:
         now = time.time()
         os.utime(src, (now, now))
+
+
+# --- native refine-on search (tk_rsearch_*) -------------------------------
+
+
+def _refine_setup(n_mols=(6, 10), beam=2, check_frac=0.5, hidden=32):
+    """Tiny trained-shape models + synthetic blur sets for refine searches."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    from hierdiff_tpu.data.assets import load_vocab_fps, load_vocab_smiles
+    from hierdiff_tpu.data.denoise import make_denoise_batch
+    from hierdiff_tpu.data.refine import make_refine_batch
+    from hierdiff_tpu.models.edge_denoise import EdgeDenoise
+    from hierdiff_tpu.models.refine import NodeRefine
+    from hierdiff_tpu.sampling.refine_hook import RefineHook
+
+    gen = SyntheticTreeGenerator(seed=11)
+    dmodel = EdgeDenoise(hidden_nf=hidden, n_layers_full=1, n_layers_focal=1)
+    dbatch = {k: jnp.asarray(v) for k, v in
+              make_denoise_batch(gen.sample_trees(2, n=6), random.Random(0),
+                                 max_n=8).items()}
+    dparams = jax.jit(dmodel.init)(jax.random.PRNGKey(0), dbatch)
+    rmodel = NodeRefine(hidden_size=hidden, n_layers=1)
+    rbatch = {k: jnp.asarray(v) for k, v in
+              make_refine_batch(gen.sample_trees(2, n=6), random.Random(1),
+                                max_n=8).items()}
+    rparams = jax.jit(rmodel.init)(jax.random.PRNGKey(1), rbatch)
+    vocab_sizes = np.array([int(round(load_vocab_fps()[s][3]))
+                            for s in load_vocab_smiles()])
+    trees = []
+    for n in n_mols:
+        trees += gen.sample_trees(4, n=n)
+    blur = [{"x": t.pos, "h": t.feats} for t in trees]
+
+    def make(gate=None, hook_gate=None, rng_seed=7):
+        hook = RefineHook(rmodel, rparams, vocab_sizes,
+                          check_frac=check_frac, can_assemble=hook_gate)
+        from hierdiff_tpu.sampling.lattice import LatticeSampler
+        return LatticeSampler(dmodel, dparams, beam_size=beam,
+                              refine_hook=hook, can_assemble=gate,
+                              rng=random.Random(rng_seed),
+                              refine_group_cap=3)
+
+    return blur, make
+
+
+def _verdict_gate(reject_frac):
+    """Deterministic verdict-style gate (same shape as bench _synthetic_gate
+    / chem.assemble_gate)."""
+    import zlib
+
+    def verdict(wid, neis):
+        h = zlib.crc32(repr((int(wid), tuple(neis))).encode()) / 0xFFFFFFFF
+        return h >= reject_frac
+
+    def gate(state, i):
+        wid = int(state.wids[i])
+        if wid < 0:
+            return True
+        row = np.nonzero(state.adj[i])[0]
+        neis = tuple(sorted(int(state.wids[j]) for j in row
+                            if j != i and int(state.wids[j]) >= 0))
+        if not neis:
+            return True
+        return verdict(wid, neis)
+
+    gate.verdict = verdict
+    return gate
+
+
+@pytest.mark.skipif(not runtime.treekit_available(), reason="no native lib")
+@pytest.mark.parametrize("reject", [0.0, 0.25])
+def test_native_refine_search_parity(monkeypatch, reject):
+    """The C++ refine-on search (tk_rsearch_* via _sample_refine_native) is
+    BIT-EXACT vs the Python pipelined search for the same seed: identical
+    wids (including committed refine swaps), adjacency, and logp to the last
+    IEEE bit — the fleets, walk decisions, gates and the rng tiebreak stream
+    all coincide."""
+    blur, make = _refine_setup()
+    gate = _verdict_gate(reject) if reject else None
+    hook_gate = _verdict_gate(reject / 2) if reject else None
+
+    monkeypatch.setenv("HIERDIFF_REFINE_NATIVE", "0")
+    want = make(gate, hook_gate).sample(blur)
+    monkeypatch.setenv("HIERDIFF_REFINE_NATIVE", "1")
+    sampler = make(gate, hook_gate)
+    got = sampler.sample(blur)
+
+    assert any(r is not None for r in want)
+    for a, b in zip(got, want):
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(a.wids, b.wids)
+        np.testing.assert_array_equal(a.adj, b.adj)
+        assert a.logp == b.logp                     # exact, not approx
+
+
+@pytest.mark.skipif(not runtime.treekit_available(), reason="no native lib")
+def test_native_refine_search_propagates_verdict_errors(monkeypatch):
+    """Exceptions inside a gate verdict must surface, not corrupt the
+    native search (ctypes swallows callback exceptions)."""
+    blur, make = _refine_setup(n_mols=(10,))
+
+    def verdict(wid, neis):
+        raise RuntimeError("boom")
+
+    def gate(state, i):
+        return True
+
+    gate.verdict = verdict
+    monkeypatch.setenv("HIERDIFF_REFINE_NATIVE", "1")
+    with pytest.raises(RuntimeError, match="boom"):
+        make(gate, None).sample(blur)
