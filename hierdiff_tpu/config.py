@@ -48,6 +48,7 @@ class CoarseModelConfig:
     sin_embedding: bool = False          # sinusoidal distance embedding
     remat: bool = False
     use_pallas: bool = False             # fused EGNN inference kernels (ops/egnn_pallas.py)
+    pallas_vjp: bool = False             # fused custom-VJP training path (VMEM-remat backward)
     compute_dtype: Optional[str] = None  # 'bfloat16' = bf16 matmul operands, f32 accum
     dataset: str = "geom"                # geom | qm9 | crossdock (node-count histogram)
     pocket: bool = False                 # pocket-conditioned (crossdock) variant

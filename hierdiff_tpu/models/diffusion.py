@@ -77,6 +77,10 @@ class CoarseDiffusion(nn.Module):
     context_node_nf: int = 0
     remat: bool = False
     use_pallas: bool = False
+    # fused custom-VJP training path (ops/egnn_pallas.gcl_vjp): backward
+    # rematerializes the edge pipeline in VMEM instead of saving/re-reading
+    # (B,N,N,H) residuals from HBM
+    pallas_vjp: bool = False
     compute_dtype: Optional[str] = None  # 'bfloat16' = bf16 matmul operands
     # reference knobs off in the live config but constructor-reachable
     # (ddpmgblur.yaml:32,35 / egnn_new.py:208,245)
@@ -120,6 +124,7 @@ class CoarseDiffusion(nn.Module):
             condition_time=self.condition_time,
             remat=self.remat,
             use_pallas=self.use_pallas,
+            pallas_vjp=self.pallas_vjp,
             compute_dtype=self.compute_dtype,
             mode=self.mode,
             sin_embedding=self.sin_embedding,

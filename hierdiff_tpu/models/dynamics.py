@@ -44,6 +44,7 @@ class EGNNDynamics(nn.Module):
     condition_time: bool = True
     remat: bool = False
     use_pallas: bool = False
+    pallas_vjp: bool = False
     compute_dtype: Optional[str] = None
     # reference knobs off in the live config but constructor-reachable
     # (conf/model/ddpmgblur.yaml:32,35): 'egnn_dynamics' | 'gnn_dynamics'
@@ -150,6 +151,7 @@ class EGNNDynamics(nn.Module):
             aggregation_method=self.aggregation_method,
             remat=self.remat,
             use_pallas=self.use_pallas,
+            pallas_vjp=self.pallas_vjp,
             compute_dtype=self.compute_dtype,
             sin_embedding=self.sin_embedding,
             name="egnn",

@@ -153,6 +153,10 @@ class DenseGCL(nn.Module):
     aggregation_method: str = "sum"
     attention: bool = False
     use_pallas: bool = False   # fused inference kernel (ops/egnn_pallas.py)
+    # fused TRAINING path: custom VJP whose backward rematerializes the edge
+    # pipeline in VMEM (egnn_pallas.gcl_vjp) — the bwd-dot/spill fix named
+    # by the round-4 training roofline (BASELINE.md)
+    pallas_vjp: bool = False
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16'; None = f32 matmuls
 
     def _params(self, h_dim: int, e_dim: int):
@@ -183,6 +187,12 @@ class DenseGCL(nn.Module):
     @nn.compact
     def __call__(self, h: Array, edge_attr: Array, node_mask: Array, edge_mask: Array) -> Array:
         p = self._params(h.shape[-1], edge_attr.shape[-1])
+        if (self.pallas_vjp and self.aggregation_method == "sum"
+                and not self.is_initializing()):
+            from hierdiff_tpu.ops.egnn_pallas import gcl_vjp
+            return gcl_vjp(self.normalization_factor, self.attention,
+                           self.compute_dtype)(h, edge_attr, edge_mask,
+                                               node_mask, p)
         if (self.use_pallas and self.aggregation_method == "sum"
                 and not self.is_initializing()):
             from hierdiff_tpu.ops.egnn_pallas import fused_gcl
@@ -311,6 +321,7 @@ class DenseEquivariantBlock(nn.Module):
     normalization_factor: float = 100.0
     aggregation_method: str = "sum"
     use_pallas: bool = False
+    pallas_vjp: bool = False
     compute_dtype: Optional[str] = None
     sin_embedding: bool = False
 
@@ -329,6 +340,7 @@ class DenseEquivariantBlock(nn.Module):
                 aggregation_method=self.aggregation_method,
                 attention=self.attention,
                 use_pallas=self.use_pallas,
+                pallas_vjp=self.pallas_vjp,
                 compute_dtype=self.compute_dtype,
                 name=f"gcl_{i}",
             )(h, edge_attr, node_mask, edge_mask)
@@ -365,6 +377,7 @@ class DenseEGNN(nn.Module):
     aggregation_method: str = "sum"
     remat: bool = False
     use_pallas: bool = False
+    pallas_vjp: bool = False
     compute_dtype: Optional[str] = None
     sin_embedding: bool = False
 
@@ -392,6 +405,7 @@ class DenseEGNN(nn.Module):
                 normalization_factor=self.normalization_factor,
                 aggregation_method=self.aggregation_method,
                 use_pallas=self.use_pallas,
+                pallas_vjp=self.pallas_vjp,
                 compute_dtype=self.compute_dtype,
                 sin_embedding=self.sin_embedding,
                 name=f"e_block_{i}",

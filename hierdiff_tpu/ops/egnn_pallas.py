@@ -188,6 +188,283 @@ def fused_gcl(h: Array, edge_attr: Array, edge_mask: Array, node_mask: Array,
       node_in["kernel"], node_in["bias"], node_out["kernel"], node_out["bias"])
 
 
+# ---------------------------------------------------------------------------
+# Fused training path: custom VJP for the GCL.
+#
+# The training-step roofline (BASELINE.md round-4) measured the backward
+# pass as the whole gap to the sampler's MFU: bwd dot fusions run at 29% of
+# MXU peak (wgrad contractions with K = B*N*N and tiny HxH outputs,
+# interleaved with HBM spill fills) and the bwd elementwise chains re-read
+# (B,N,N,H) gradient tensors from HBM at 78-93% of bandwidth. This kernel
+# REMATERIALIZES the edge pipeline in VMEM per (TB, CI) tile during the
+# backward pass — no (B,N,N,H) residuals are ever written to or re-read
+# from HBM — and accumulates every weight gradient in a VMEM-resident f32
+# block across the grid, so each tile contributes a well-shaped
+# (H x TB*CI*N x H) MXU contraction instead of one giant spilled wgrad.
+#
+# Gradient math mirrors XLA AD of ops/egnn.py DenseGCL (same operand dtypes:
+# bf16 matmul operands + f32 accumulation; act-dtype elementwise in the edge
+# pipeline, f32 node MLP) — parity is tolerance-level, not bitwise, exactly
+# like the forward kernels (tests/test_pallas_interpret.py).
+# ---------------------------------------------------------------------------
+
+
+def _dotT(a, b, out_dtype=jnp.float32):
+    """a^T @ b (contract axis 0) with bf16 operands + f32 accumulation —
+    the wgrad contraction, shaped for the MXU without materializing a^T."""
+    out = jax.lax.dot_general(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out if out_dtype == jnp.float32 else out.astype(out_dtype)
+
+
+def _dsilu(x):
+    """silu'(x) = sigmoid(x) * (1 + x * (1 - sigmoid(x))); exp-form sigmoid
+    so the bf16 path lowers (Mosaic bf16 `logistic` bug, see _sigmoid)."""
+    s = _sigmoid(x)
+    one = jnp.asarray(1.0, x.dtype)
+    return s * (one + x * (one - s))
+
+
+def _gcl_bwd_kernel(g_ref, h_src_ref, h_full_ref, e_ref, emask_ref, nmask_ref,
+                    wsrc_ref, wdst_ref, we_ref, b1_ref, w2_ref, b2_ref,
+                    attw_ref, attb_ref, nw1_ref, nb1_ref, nw2_ref, nb2_ref,
+                    wsrcT_ref, wdstT_ref, weT_ref, w2T_ref, attwT_ref,
+                    nw1T_ref, nw2T_ref,
+                    dh_rows_ref, dh_dst_ref, de_ref,
+                    dwsrc_ref, dwdst_ref, dwe_ref, db1_ref,
+                    dw2_ref, db2_ref, dattw_ref, dattb_ref,
+                    dnw1_ref, dnb1_ref, dnw2_ref, dnb2_ref,
+                    *, norm_factor: float, attention: bool,
+                    act_dtype=jnp.float32):
+    h_src = h_src_ref[:]                  # (TB, CI, H) f32
+    tb, ci, hd = h_src.shape
+    n = h_full_ref.shape[1]
+    q = tb * ci * n
+    bf = act_dtype == jnp.bfloat16
+    silu = _silu if bf else jax.nn.silu
+    sigmoid = _sigmoid if bf else jax.nn.sigmoid
+    emask = emask_ref[:]                  # (TB, CI, N, 1)
+
+    # ---- rematerialize the forward edge pipeline in VMEM (keep pre-acts)
+    hs = _dot(h_src.reshape(tb * ci, hd), wsrc_ref[:], act_dtype)
+    hdst = _dot(h_full_ref[:].reshape(tb * n, hd), wdst_ref[:], act_dtype)
+    ep = _dot(e_ref[:].reshape(q, e_ref.shape[-1]), we_ref[:], act_dtype)
+    pre = (hs.reshape(tb, ci, 1, hd) + hdst.reshape(tb, 1, n, hd)
+           + ep.reshape(tb, ci, n, hd) + b1_ref[:].astype(act_dtype))
+    u = silu(pre)                         # (TB, CI, N, H)
+    v = _dot(u.reshape(q, hd), w2_ref[:], act_dtype) + b2_ref[:].astype(act_dtype)
+    m0 = silu(v)                          # (q, H)
+    if attention:
+        za = _dot(m0, attw_ref[:], act_dtype) + attb_ref[:].astype(act_dtype)
+        att = sigmoid(za)                 # (q, 1)
+        m1 = m0 * att
+    else:
+        m1 = m0
+    mm = m1.reshape(tb, ci, n, hd) * emask.astype(act_dtype)
+    agg = jnp.sum(mm, axis=2, dtype=jnp.float32) / norm_factor
+    cat = jnp.concatenate([h_src, agg], axis=-1).reshape(tb * ci, 2 * hd)
+    z1 = _dot(cat, nw1_ref[:]) + nb1_ref[:]
+    o1 = jax.nn.silu(z1)                  # (TB*CI, H) f32
+
+    # ---- node MLP backward (f32, like the forward's node half)
+    g2 = (g_ref[:] * nmask_ref[:]).reshape(tb * ci, hd)     # d(h+o)
+    do1 = _dot(g2, nw2T_ref[:])
+    dz1 = do1 * (jax.nn.sigmoid(z1) * (1.0 + z1 * (1.0 - jax.nn.sigmoid(z1))))
+    dcat = _dot(dz1, nw1T_ref[:])                           # (TB*CI, 2H)
+    dh_part = g2 + dcat[:, :hd]
+    dagg = dcat[:, hd:] / norm_factor                       # (TB*CI, H) f32
+
+    # ---- masked row-sum backward: broadcast over j, re-mask
+    dm1 = (dagg.reshape(tb, ci, 1, hd).astype(act_dtype)
+           * emask.astype(act_dtype)).reshape(q, hd)
+    if attention:
+        datt = jnp.sum((dm1 * m0).astype(jnp.float32), axis=-1,
+                       keepdims=True).astype(act_dtype)     # (q, 1)
+        one = jnp.asarray(1.0, act_dtype)
+        dza = datt * att * (one - att)
+        # (q,1) x (1,H) broadcast instead of a K=1 matmul
+        dm0 = dm1 * att + dza * attwT_ref[:].astype(act_dtype)
+    else:
+        dza = None
+        dm0 = dm1
+    dv = dm0 * _dsilu(v)
+    du = _dot(dv, w2T_ref[:], act_dtype)
+    dpre = (du * _dsilu(pre.reshape(q, hd))).reshape(tb, ci, n, hd)
+
+    # ---- fan the pre-activation gradient back to the three linear inputs
+    dhs = jnp.sum(dpre, axis=2, dtype=jnp.float32).reshape(tb * ci, hd)
+    dhdst = jnp.sum(dpre, axis=1, dtype=jnp.float32).reshape(tb * n, hd)
+    dpre2 = dpre.reshape(q, hd)
+    de_ref[:] = _dot(dpre2, weT_ref[:]).reshape(tb, ci, n, e_ref.shape[-1])
+    dh_rows_ref[:] = (dh_part + _dot(dhs, wsrcT_ref[:])).reshape(tb, ci, hd)
+
+    ii = pl.program_id(1)
+
+    @pl.when(ii == 0)
+    def _init_dst():
+        dh_dst_ref[:] = jnp.zeros_like(dh_dst_ref)
+
+    dh_dst_ref[:] += _dot(dhdst, wdstT_ref[:]).reshape(tb, n, hd)
+
+    @pl.when((pl.program_id(0) == 0) & (ii == 0))
+    def _init_wgrads():
+        dwsrc_ref[:] = jnp.zeros_like(dwsrc_ref)
+        dwdst_ref[:] = jnp.zeros_like(dwdst_ref)
+        dwe_ref[:] = jnp.zeros_like(dwe_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dattw_ref[:] = jnp.zeros_like(dattw_ref)
+        dattb_ref[:] = jnp.zeros_like(dattb_ref)
+        dnw1_ref[:] = jnp.zeros_like(dnw1_ref)
+        dnb1_ref[:] = jnp.zeros_like(dnb1_ref)
+        dnw2_ref[:] = jnp.zeros_like(dnw2_ref)
+        dnb2_ref[:] = jnp.zeros_like(dnb2_ref)
+
+    dwsrc_ref[:] += _dotT(h_src.reshape(tb * ci, hd), dhs)
+    dwdst_ref[:] += _dotT(h_full_ref[:].reshape(tb * n, hd), dhdst)
+    dwe_ref[:] += _dotT(e_ref[:].reshape(q, e_ref.shape[-1]), dpre2)
+    db1_ref[:] += jnp.sum(dpre2.astype(jnp.float32), axis=0)
+    dw2_ref[:] += _dotT(u.reshape(q, hd), dv)
+    db2_ref[:] += jnp.sum(dv.astype(jnp.float32), axis=0)
+    if attention:
+        dattw_ref[:] += _dotT(m0, dza)
+        dattb_ref[:] += jnp.sum(dza.astype(jnp.float32), axis=0)
+    dnw1_ref[:] += _dotT(cat, dz1)
+    dnb1_ref[:] += jnp.sum(dz1, axis=0)
+    dnw2_ref[:] += _dotT(o1, g2)
+    dnb2_ref[:] += jnp.sum(g2, axis=0)
+
+
+def fused_gcl_bwd(g: Array, h: Array, edge_attr: Array, edge_mask: Array,
+                  node_mask: Array, params: dict, normalization_factor: float,
+                  attention: bool = True, compute_dtype=None):
+    """Backward pass of ``fused_gcl``: one pallas_call that rematerializes
+    the edge pipeline per tile and returns (dh, d_edge_attr, d_params)."""
+    b, n, hd = h.shape
+    e_nf = edge_attr.shape[-1]
+    act_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    # the bwd keeps ~4x the forward's live (TB,CI,N,H) tensors per tile
+    tb, ci = _pick_tiles(b, n, hd,
+                         4 * (2 if act_dtype == jnp.bfloat16 else 4))
+    grid = (b // tb, n // ci)
+
+    row = lambda shape: pl.BlockSpec(shape, lambda bi, ii: (bi, ii) + (0,) * (len(shape) - 2),
+                                     memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda bi, ii: (bi,) + (0,) * (len(shape) - 1),
+                                      memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda bi, ii: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+
+    ei = params["edge_in"]
+    att = params.get("att")
+    node_in, node_out = params["node_in"], params["node_out"]
+    eo = params["edge_out"]
+    attw = att["kernel"] if attention else jnp.zeros((hd, 1), jnp.float32)
+    attb = att["bias"] if attention else jnp.zeros((1,), jnp.float32)
+
+    kernel = functools.partial(_gcl_bwd_kernel,
+                               norm_factor=normalization_factor,
+                               attention=attention, act_dtype=act_dtype)
+    edge_attr_bf = edge_attr.astype(jnp.bfloat16)   # same trim as the fwd
+    edge_mask_bf = edge_mask.astype(jnp.bfloat16)
+    f32 = jnp.float32
+    out_shape = (
+        jax.ShapeDtypeStruct((b, n, hd), f32),        # dh rows
+        jax.ShapeDtypeStruct((b, n, hd), f32),        # dh dst (accumulated)
+        jax.ShapeDtypeStruct((b, n, n, e_nf), f32),   # de
+        jax.ShapeDtypeStruct((hd, hd), f32),          # dwsrc
+        jax.ShapeDtypeStruct((hd, hd), f32),          # dwdst
+        jax.ShapeDtypeStruct((e_nf, hd), f32),        # dwe
+        jax.ShapeDtypeStruct((hd,), f32),             # db1
+        jax.ShapeDtypeStruct((hd, hd), f32),          # dw2
+        jax.ShapeDtypeStruct((hd,), f32),             # db2
+        jax.ShapeDtypeStruct((hd, 1), f32),           # dattw
+        jax.ShapeDtypeStruct((1,), f32),              # dattb
+        jax.ShapeDtypeStruct((2 * hd, hd), f32),      # dnw1
+        jax.ShapeDtypeStruct((hd,), f32),             # dnb1
+        jax.ShapeDtypeStruct((hd, hd), f32),          # dnw2
+        jax.ShapeDtypeStruct((hd,), f32),             # dnb2
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[
+            row((tb, ci, hd)),                        # g rows
+            row((tb, ci, hd)),                        # h source rows
+            full((tb, n, hd)),                        # h full (dst side)
+            row((tb, ci, n, e_nf)),                   # edge attr rows
+            row((tb, ci, n, 1)),                      # edge mask rows
+            row((tb, ci, 1)),                         # node mask rows
+            wspec, wspec, wspec, wspec,               # wsrc wdst we b1
+            wspec, wspec,                             # w2 b2
+            wspec, wspec,                             # attw attb
+            wspec, wspec, wspec, wspec,               # nw1 nb1 nw2 nb2
+            wspec, wspec, wspec, wspec, wspec,        # transposed weights
+            wspec, wspec,
+        ],
+        out_specs=(
+            row((tb, ci, hd)),                        # dh rows
+            full((tb, n, hd)),                        # dh dst
+            row((tb, ci, n, e_nf)),                   # de
+            acc((hd, hd)), acc((hd, hd)), acc((e_nf, hd)), acc((hd,)),
+            acc((hd, hd)), acc((hd,)), acc((hd, 1)), acc((1,)),
+            acc((2 * hd, hd)), acc((hd,)), acc((hd, hd)), acc((hd,)),
+        ),
+    )(g, h, h, edge_attr_bf, edge_mask_bf, node_mask,
+      ei["w_src"], ei["w_dst"], ei["w_e"], ei["bias"],
+      eo["kernel"], eo["bias"], attw, attb,
+      node_in["kernel"], node_in["bias"], node_out["kernel"], node_out["bias"],
+      ei["w_src"].T, ei["w_dst"].T, ei["w_e"].T, eo["kernel"].T, attw.T,
+      node_in["kernel"].T, node_out["kernel"].T)
+
+    (dh_rows, dh_dst, de, dwsrc, dwdst, dwe, db1, dw2, db2, dattw, dattb,
+     dnw1, dnb1, dnw2, dnb2) = outs
+    dh = dh_rows + dh_dst
+    dparams = {
+        "edge_in": {"w_src": dwsrc, "w_dst": dwdst, "w_e": dwe, "bias": db1},
+        "edge_out": {"kernel": dw2, "bias": db2},
+        "node_in": {"kernel": dnw1, "bias": dnb1},
+        "node_out": {"kernel": dnw2, "bias": dnb2},
+    }
+    if attention:
+        dparams["att"] = {"kernel": dattw, "bias": dattb}
+    return dh, de, dparams
+
+
+@functools.lru_cache(maxsize=None)
+def gcl_vjp(normalization_factor: float, attention: bool, compute_dtype):
+    """custom-VJP GCL: forward = ``fused_gcl``, backward = the fused
+    remat-in-VMEM kernel (``fused_gcl_bwd``). Residuals are just the inputs
+    — no (B,N,N,H) tensor is ever saved to HBM, which is the whole point.
+    Cached per static config so jit tracing reuses one callable."""
+
+    def core(h, edge_attr, edge_mask, node_mask, params):
+        return fused_gcl(h, edge_attr, edge_mask, node_mask, params,
+                         normalization_factor, attention,
+                         compute_dtype=compute_dtype)
+
+    f = jax.custom_vjp(core)
+
+    def fwd(h, edge_attr, edge_mask, node_mask, params):
+        return core(h, edge_attr, edge_mask, node_mask, params), (
+            h, edge_attr, edge_mask, node_mask, params)
+
+    def bwd(res, g):
+        h, edge_attr, edge_mask, node_mask, params = res
+        dh, de, dparams = fused_gcl_bwd(
+            g, h, edge_attr, edge_mask, node_mask, params,
+            normalization_factor, attention, compute_dtype=compute_dtype)
+        return (dh, de, jnp.zeros_like(edge_mask), jnp.zeros_like(node_mask),
+                dparams)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _coord_kernel(h_src_ref, h_full_ref, e_ref, cdiff_ref, emask_ref, nmask_ref, x_ref,
                   wsrc_ref, wdst_ref, we_ref, b1_ref, w2_ref, b2_ref, whead_ref,
                   out_ref, *, norm_factor: float, tanh: bool, coords_range: float,

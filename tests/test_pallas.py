@@ -43,7 +43,7 @@ def test_pallas_kernels_on_real_tpu_via_subprocess():
     # every kernel test must RUN (a silent skip would pass vacuously); the
     # one allowed skip is this meta-test guarding itself on the TPU side
     m = re.search(r"(\d+) passed", r.stdout)
-    n_kernel_tests = 7  # 2x gcl f32 + coord f32 + model flag + 2x gcl bf16 + coord bf16
+    n_kernel_tests = 8  # 2x gcl f32 + coord f32 + model flag + 2x gcl bf16 + coord bf16 + vjp grad
     assert m and int(m.group(1)) >= n_kernel_tests, \
         f"expected all {n_kernel_tests} kernel tests to RUN:\n{r.stdout}"
 
@@ -151,3 +151,55 @@ def test_fused_coord_bf16_matches_xla():
     out = np.asarray(equ_pl.apply(params, h, x, cdiff, e, nm, em))
     err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 3e-2, err
+
+
+@requires_tpu
+def test_gcl_vjp_grad_on_tpu():
+    """The fused custom-VJP backward lowers through Mosaic and matches XLA
+    AD on hardware (grid accumulation, @pl.when inits, transposed-operand
+    wgrads)."""
+    from hierdiff_tpu.ops import egnn_pallas as ep
+    from hierdiff_tpu.ops.egnn import DenseGCL
+
+    B, N, H = 8, 48, 256
+    h, x, radial, cdiff, e, em, nm = make_inputs(B, N, H)
+    h = h * 0.1
+    gcl = DenseGCL(hidden_nf=H, normalization_factor=10.0, attention=True)
+    variables = gcl.init(jax.random.PRNGKey(2), h, e, nm, em)
+    pp = variables["params"]
+    kp = {"edge_in": {"w_src": pp["edge_in_w_src"],
+                      "w_dst": pp["edge_in_w_dst"],
+                      "w_e": pp["edge_in_w_e"], "bias": pp["edge_in_bias"]},
+          "edge_out": {"kernel": pp["edge_out_kernel"],
+                       "bias": pp["edge_out_bias"]},
+          "node_in": {"kernel": pp["node_in_kernel"],
+                      "bias": pp["node_in_bias"]},
+          "node_out": {"kernel": pp["node_out_kernel"],
+                       "bias": pp["node_out_bias"]},
+          "att": {"kernel": pp["att_kernel"], "bias": pp["att_bias"]}}
+
+    def loss_xla(h, e, p):
+        with jax.default_matmul_precision("highest"):
+            out = gcl.apply(p, h, e, nm, em)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    f = ep.gcl_vjp(10.0, True, "bfloat16")
+
+    def loss_pl(h, e, p):
+        out = f(h, e, em, nm, p)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(h, e, variables)
+    gp = jax.jit(jax.grad(loss_pl, argnums=(0, 1, 2)))(h, e, kp)
+
+    def rel(a, ref):
+        a, ref = np.asarray(a), np.asarray(ref)
+        return np.abs(a - ref).max() / (np.abs(ref).max() + 1e-9)
+
+    assert rel(gp[0], gx[0]) < 5e-2, rel(gp[0], gx[0])
+    assert rel(gp[1], gx[1]) < 5e-2, rel(gp[1], gx[1])
+    gxp = gx[2]["params"]
+    assert rel(gp[2]["edge_in"]["w_src"], gxp["edge_in_w_src"]) < 5e-2
+    assert rel(gp[2]["edge_out"]["kernel"], gxp["edge_out_kernel"]) < 5e-2
+    assert rel(gp[2]["node_in"]["kernel"], gxp["node_in_kernel"]) < 5e-2
+    assert rel(gp[2]["att"]["kernel"], gxp["att_kernel"]) < 5e-2

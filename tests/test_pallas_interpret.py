@@ -83,3 +83,95 @@ def test_bf16_tiles_no_row_split_at_geom_buckets():
     _, ci_f32 = _pick_tiles(256, 96, 256, 4)
     _, ci_bf16 = _pick_tiles(256, 96, 256, 2)
     assert ci_bf16 >= 2 * ci_f32
+
+
+@pytest.mark.parametrize("cd", [None, "bfloat16"])
+@pytest.mark.parametrize("attention", [True, False])
+def test_gcl_vjp_interpret_grad_parity(interpret_pallas, cd, attention):
+    """The fused custom-VJP backward (egnn_pallas.gcl_vjp /
+    fused_gcl_bwd) matches XLA AD of the DenseGCL for every gradient:
+    dh, d_edge_attr, and all weight/bias grads. Tolerance covers the
+    kernel's bf16 matmul operands vs HIGHEST XLA (same bound as the
+    forward parity tests)."""
+    from hierdiff_tpu.ops import egnn_pallas as ep
+    from hierdiff_tpu.ops.egnn import DenseGCL
+
+    b, n, h = 4, 16, 64
+    hh, x, e, em, nm = _inputs(b, n, h)
+    gcl = DenseGCL(hidden_nf=h, normalization_factor=10.0,
+                   attention=attention)
+    variables = gcl.init(jax.random.PRNGKey(0), hh, e, nm, em)
+    pp = variables["params"]
+    kp = {"edge_in": {"w_src": pp["edge_in_w_src"],
+                      "w_dst": pp["edge_in_w_dst"],
+                      "w_e": pp["edge_in_w_e"], "bias": pp["edge_in_bias"]},
+          "edge_out": {"kernel": pp["edge_out_kernel"],
+                       "bias": pp["edge_out_bias"]},
+          "node_in": {"kernel": pp["node_in_kernel"],
+                      "bias": pp["node_in_bias"]},
+          "node_out": {"kernel": pp["node_out_kernel"],
+                       "bias": pp["node_out_bias"]}}
+    if attention:
+        kp["att"] = {"kernel": pp["att_kernel"], "bias": pp["att_bias"]}
+
+    def loss_xla(hh, e, p):
+        with jax.default_matmul_precision("highest"):
+            out = gcl.apply(p, hh, e, nm, em)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    f = ep.gcl_vjp(10.0, attention, cd)
+
+    def loss_pl(hh, e, p):
+        out = f(hh, e, em, nm, p)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(hh, e, variables)
+    gp = jax.grad(loss_pl, argnums=(0, 1, 2))(hh, e, kp)
+
+    def rel(a, ref):
+        a, ref = np.asarray(a), np.asarray(ref)
+        return np.abs(a - ref).max() / (np.abs(ref).max() + 1e-9)
+
+    tol = 2e-2 if cd is None else 4e-2
+    assert rel(gp[0], gx[0]) < tol, ("dh", rel(gp[0], gx[0]))
+    assert rel(gp[1], gx[1]) < tol, ("de", rel(gp[1], gx[1]))
+    gxp = gx[2]["params"]
+    names = {"edge_in": {"w_src": "edge_in_w_src", "w_dst": "edge_in_w_dst",
+                         "w_e": "edge_in_w_e", "bias": "edge_in_bias"},
+             "edge_out": {"kernel": "edge_out_kernel",
+                          "bias": "edge_out_bias"},
+             "node_in": {"kernel": "node_in_kernel", "bias": "node_in_bias"},
+             "node_out": {"kernel": "node_out_kernel",
+                          "bias": "node_out_bias"}}
+    if attention:
+        names["att"] = {"kernel": "att_kernel", "bias": "att_bias"}
+    for grp, sub in names.items():
+        for k, flat in sub.items():
+            err = rel(gp[2][grp][k], gxp[flat])
+            assert err < tol, (grp, k, err)
+
+
+def test_gcl_vjp_matches_fused_gcl_forward(interpret_pallas):
+    """gcl_vjp's primal IS fused_gcl — no forward drift between the
+    training and inference kernels."""
+    from hierdiff_tpu.ops import egnn_pallas as ep
+    from hierdiff_tpu.ops.egnn import DenseGCL
+
+    b, n, h = 4, 16, 64
+    hh, x, e, em, nm = _inputs(b, n, h)
+    gcl = DenseGCL(hidden_nf=h, normalization_factor=10.0, attention=True)
+    variables = gcl.init(jax.random.PRNGKey(0), hh, e, nm, em)
+    pp = variables["params"]
+    kp = {"edge_in": {"w_src": pp["edge_in_w_src"],
+                      "w_dst": pp["edge_in_w_dst"],
+                      "w_e": pp["edge_in_w_e"], "bias": pp["edge_in_bias"]},
+          "edge_out": {"kernel": pp["edge_out_kernel"],
+                       "bias": pp["edge_out_bias"]},
+          "node_in": {"kernel": pp["node_in_kernel"],
+                      "bias": pp["node_in_bias"]},
+          "node_out": {"kernel": pp["node_out_kernel"],
+                       "bias": pp["node_out_bias"]},
+          "att": {"kernel": pp["att_kernel"], "bias": pp["att_bias"]}}
+    a = ep.gcl_vjp(10.0, True, None)(hh, e, em, nm, kp)
+    bb = ep.fused_gcl(hh, e, em, nm, kp, 10.0, True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
