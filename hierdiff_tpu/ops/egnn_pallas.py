@@ -79,10 +79,16 @@ def _pick_tiles(b: int, n: int, h: int, elem_bytes: int = 4) -> Tuple[int, int]:
     while b % tb != 0:
         tb -= 1
     if tb == 1 and ci * per_row > budget:
-        ci = max(8, budget // per_row)
-        while n % ci != 0:
-            ci -= 1
-        ci = max(ci, 1)
+        # Mosaic requires the block's second-to-last dim (the row chunk in
+        # the (TB, CI, H) operands) to be a multiple of 8 OR the full dim,
+        # so pick from divisors of n satisfying that — largest under budget,
+        # else the smallest valid one (a too-big block fails at compile
+        # time with a clear scoped-VMEM error rather than a shape error).
+        limit = max(1, budget // per_row)
+        valid = [d for d in range(1, n + 1)
+                 if n % d == 0 and (d == n or d % 8 == 0)]
+        under = [d for d in valid if d <= limit]
+        ci = max(under) if under else min(valid)
     return tb, ci
 
 

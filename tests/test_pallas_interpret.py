@@ -85,6 +85,22 @@ def test_bf16_tiles_no_row_split_at_geom_buckets():
     assert ci_bf16 >= 2 * ci_f32
 
 
+def test_pick_tiles_row_chunk_mosaic_valid():
+    """Mosaic rejects blocks whose second-to-last dim is neither a multiple
+    of 8 nor the full array dim — the bwd kernel's 4x elem_bytes sizing hit
+    this at bucket 96 (ci=12; measured compile failure, r4c sweep). Every
+    (batch, bucket, elem_bytes) the train/sample paths can produce must
+    yield a valid (tb, ci)."""
+    from hierdiff_tpu.ops.egnn_pallas import _pick_tiles
+
+    for b in (32, 64, 256, 1024):
+        for n in (8, 12, 16, 20, 24, 32, 40, 48, 64, 96):
+            for eb in (2, 4, 8, 16):
+                tb, ci = _pick_tiles(b, n, 256, eb)
+                assert b % tb == 0 and n % ci == 0, (b, n, eb, tb, ci)
+                assert ci == n or ci % 8 == 0, (b, n, eb, tb, ci)
+
+
 @pytest.mark.parametrize("cd", [None, "bfloat16"])
 @pytest.mark.parametrize("attention", [True, False])
 def test_gcl_vjp_interpret_grad_parity(interpret_pallas, cd, attention):
