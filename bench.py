@@ -4,7 +4,9 @@ Default (driver mode) prints ONE JSON line for the headline metric —
 the REFERENCE-SHAPED end-to-end pipeline: 1000-step coarse EDM sampling +
 beam-5 lattice AR assembly WITH the check_tree refine perturbation on every
 queue pop, exactly the configuration the reference always runs
-(generation/ar_sampling_nosize.py:138-143), 256 molecules at batch 256:
+(generation/ar_sampling_nosize.py:138-143), 1024 molecules at batch 256
+(256-molecule chunks leave the group round-robin nothing to pipeline
+across — 1024 measures the steady state the 10k sweep runs at):
 
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
@@ -308,7 +310,7 @@ def main():
     p.add_argument("--stage", choices=["coarse", "fine", "pipeline"],
                    default=None,
                    help="default: the reference-shaped refine-on pipeline "
-                        "(256 molecules, batch 256)")
+                        "(1024 molecules, batch 256)")
     p.add_argument("--num", type=int, default=None)
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--max-n", type=int, default=12)
@@ -343,7 +345,7 @@ def main():
         args.stage = "pipeline"
         args.refine = True
         if args.num is None:
-            args.num = 256
+            args.num = 1024
         if args.batch is None and args.batch_flag is None:
             args.batch = 256
     if args.num is None:
