@@ -200,7 +200,8 @@ def _synthetic_gate(reject_frac: float):
 
 def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
                    steps: int = 0, bf16: bool = True, refine: bool = False,
-                   gate_reject: float = 0.0, fine_buckets: bool = False):
+                   gate_reject: float = 0.0, fine_buckets: bool = False,
+                   reps: int = 3):
     import jax
     import random
     import jax.numpy as jnp
@@ -266,10 +267,19 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
         # profile exactly the timed (warm) run; parse with scripts/roofline
         # --parse-only or the offline per-source recipe in BASELINE.md
         jax.profiler.start_trace(trace_dir)
-    t0 = time.perf_counter()
-    result = pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False,
-                      batch_size=batch_size)
-    dt = time.perf_counter() - t0
+    # best-of-reps: the tunneled chip is SHARED and same-config readings
+    # swing ~±20% between windows (BASELINE.md documents 38.9-56.9 mol/s
+    # for this config) — a single timed run is a noisy snapshot. Like
+    # coarse mode's best-of-5, take the fastest rep and report the spread.
+    rep_times, result = [], None
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        r = pipe.run(jax.random.PRNGKey(3), n_molecules, reconstruct=False,
+                     batch_size=batch_size)
+        rep_times.append(time.perf_counter() - t0)
+        if result is None or rep_times[-1] == min(rep_times):
+            result = r
+    dt = min(rep_times)
     if trace_dir:
         jax.profiler.stop_trace()
     if refine_hook is not None and os.environ.get("HIERDIFF_BENCH_STATS"):
@@ -294,7 +304,8 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
           _baseline("ref_batch64_n12_T1000"),
           t_coarse=round(st.get("t_coarse", 0.0), 2),
           t_fine=round(st.get("t_fine", 0.0), 2),
-          assembled=ok)
+          assembled=ok,
+          rep_mol_per_s=[round(ok / t, 1) for t in rep_times])
 
 
 def main():
@@ -338,6 +349,9 @@ def main():
     p.add_argument("--default-buckets", action="store_true",
                    help="pipeline: restore the coarser DEFAULT_BUCKETS pad "
                         "set (fewer compiles, -16%% throughput)")
+    p.add_argument("--reps", type=int, default=3,
+                   help="pipeline: timed repetitions (best-of; the shared "
+                        "chip swings ~±20%% between windows)")
     args = p.parse_args()
     if args.stage is None:
         # driver headline: the reference-shaped pipeline (refine on every
@@ -362,7 +376,8 @@ def main():
         bench_pipeline(args.num, args.beam, batch_size=args.batch,
                        steps=args.steps, bf16=args.bf16, refine=args.refine,
                        gate_reject=args.gate_reject,
-                       fine_buckets="default" if args.default_buckets else False)
+                       fine_buckets="default" if args.default_buckets else False,
+                       reps=args.reps)
 
 
 if __name__ == "__main__":

@@ -105,6 +105,13 @@ class GenerationPipeline:
             from hierdiff_tpu.data.collate import SAMPLING_BUCKETS
             sample_buckets = SAMPLING_BUCKETS
         self.sample_buckets = tuple(sample_buckets)
+        if refine_hook is not None and hasattr(refine_hook, "buckets"):
+            # The hook's pad buckets MUST match the fine sampler's: the native
+            # refine search requires it (lattice.py eligibility check) and the
+            # lane-merge bit-exactness precondition assumes the hook pads each
+            # fleet to the group's bucket. A hook built with a different
+            # (usually defaulted) set silently voids both, so align it here.
+            refine_hook.buckets = self.sample_buckets
         self.sampler = build_fine_sampler(
             denoise_model, denoise_params, beam_size=beam_size,
             can_assemble=can_assemble, refine_hook=refine_hook,
