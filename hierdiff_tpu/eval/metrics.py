@@ -137,7 +137,11 @@ def max_sim_fp(mols, ref_mols, assume_clean: bool = False,
         step = max(1, (1 << 27) // max(a.shape[0], 1))   # ~128M f32 per block
     for c0 in range(0, b.shape[0], step):
         inter = a @ b[c0:c0 + step].T
-        sim = inter / np.maximum(asum + bsum[None, c0:c0 + step] - inter, 1)
+        # inter/union are integer-valued (exact in f32); divide in f64 so
+        # similarities — and max/argmax tie resolution — match the original
+        # integer-array implementation exactly (advisor round-4)
+        sim = (inter.astype(np.float64)
+               / np.maximum(asum + bsum[None, c0:c0 + step] - inter, 1))
         best[c0:c0 + step] = sim.max(axis=0)
         argb[c0:c0 + step] = sim.argmax(axis=0)
     return best, argb

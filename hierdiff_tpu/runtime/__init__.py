@@ -356,6 +356,16 @@ class NativeRefineSearch:
         stream (the throwaway per-group rng of the pipelined search)."""
         lib = _load()
         assert lib is not None
+        # Bit-exactness dependency (advisor round-4): the native fleet_adj is
+        # rebuilt from attach steps only and omits the adj[0,0] root-marker
+        # convention the Python _pack_states path ships to the fused check.
+        # That is safe ONLY because a marker-bearing state (t=1, no attach)
+        # can never pass the t*check_frac > 1 active filter when
+        # check_frac <= 1 — enforce the invariant instead of assuming it.
+        assert check_frac <= 1.0, (
+            "NativeRefineSearch requires check_frac <= 1 (root-marker rows "
+            "would otherwise reach the fused check with a different adj "
+            "than the Python packer)")
         self._lib = lib
         m = len(members)
         self.n_mol = m

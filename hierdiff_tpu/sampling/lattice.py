@@ -230,16 +230,15 @@ class LatticeSampler:
                 self._fn_cache[key] = jax.jit(run)
         return self._fn_cache[key]
 
-    def compute_lattices(self, blur_sets: Sequence[Dict[str, np.ndarray]]
-                         ) -> Dict[int, MoleculeLattice]:
-        """Group molecules by size bucket, pad, and run the scan per chunk."""
+    def _dispatch_lattices(self, blur_sets, indices) -> List[tuple]:
+        """Async half: pack + dispatch one lattice program per (bucket,
+        pow2 chunk) over ``indices``; returns [(chunk, dev), ...] in
+        dispatch order (device executes in order). JAX dispatch is async, so
+        host packing of chunk k+1 overlaps device compute of chunk k."""
         by_bucket: Dict[int, List[int]] = {}
-        for i, jt in enumerate(blur_sets):
+        for i in indices:
             by_bucket.setdefault(
-                bucket_for(jt["h"].shape[0], self.buckets), []).append(i)
-
-        # dispatch every chunk first (JAX dispatch is async — host packing of
-        # chunk k+1 overlaps device compute of chunk k), then collect
+                bucket_for(blur_sets[i]["h"].shape[0], self.buckets), []).append(i)
         pending = []
         for nb, idxs in sorted(by_bucket.items()):
             cap = self._max_batch(nb)
@@ -268,21 +267,37 @@ class LatticeSampler:
                         [blur_sets[i]["h"] for i in chunk], self.allowed_fn,
                         b, nb, self.model.out_node_nf)
                     args += [jnp.asarray(bucket), jnp.asarray(table)]
-                pending.append((chunk, self._fn(nb, b, with_allowed)(self.params, *args)))
+                dev = self._fn(nb, b, with_allowed)(self.params, *args)
+                try:
+                    dev.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append((chunk, dev))
+        return pending
 
+    @staticmethod
+    def _collect_lattice(chunk, out, blur_sets, lattices) -> None:
+        """Blocking half: unpack one chunk's packed readback into
+        per-molecule MoleculeLattice entries."""
+        out = np.asarray(out)                 # ONE readback per chunk
+        k = (out.shape[-1] - 3) // 2
+        for row, i in enumerate(chunk):
+            n = blur_sets[i]["h"].shape[0]
+            o = out[row, :n]
+            lattices[i] = MoleculeLattice(
+                focal=o[:, 0].astype(np.int32),
+                target=o[:, 1].astype(np.int32),
+                attach=o[:, 2] > 0.5,
+                top_wid=o[:, 3:3 + k].astype(np.int64),
+                top_logp=o[:, 3 + k:])
+
+    def compute_lattices(self, blur_sets: Sequence[Dict[str, np.ndarray]]
+                         ) -> Dict[int, MoleculeLattice]:
+        """Group molecules by size bucket, pad, and run the scan per chunk."""
+        pending = self._dispatch_lattices(blur_sets, range(len(blur_sets)))
         lattices: Dict[int, MoleculeLattice] = {}
         for chunk, out in pending:
-            out = np.asarray(out)                 # ONE readback per chunk
-            k = (out.shape[-1] - 3) // 2
-            for row, i in enumerate(chunk):
-                n = blur_sets[i]["h"].shape[0]
-                o = out[row, :n]
-                lattices[i] = MoleculeLattice(
-                    focal=o[:, 0].astype(np.int32),
-                    target=o[:, 1].astype(np.int32),
-                    attach=o[:, 2] > 0.5,
-                    top_wid=o[:, 3:3 + k].astype(np.int64),
-                    top_logp=o[:, 3 + k:])
+            self._collect_lattice(chunk, out, blur_sets, lattices)
         return lattices
 
     # --- host search ----------------------------------------------------------
@@ -298,6 +313,108 @@ class LatticeSampler:
         if not blur_sets:
             return []
         lattices = self.compute_lattices(blur_sets)
+        return self._search(blur_sets, lattices)
+
+    def sample_streamed(self, feeder) -> List[Optional[TreeState]]:
+        """Stage-1/2 OVERLAPPED assembly: consume coarse chunks from
+        ``feeder`` as they land instead of waiting for the whole coarse
+        stage.
+
+        feeder protocol (see pipeline._BlurFeeder): ``total`` (molecule
+        count), ``blur`` (the per-molecule dict list the feeder fills),
+        ``pump()`` — non-blocking; tops up the in-flight coarse dispatch
+        budget, absorbs newly-ready chunks into ``blur`` and returns their
+        index lists; ``collect_next()`` — blocking variant; ``done`` — all
+        chunks collected.
+
+        Each arrived chunk's lattice program is dispatched immediately, and
+        (refine-on, native-eligible) its molecule groups join the shared
+        round-robin loop — fine-stage rounds then interleave with the
+        REMAINING coarse chunks' device programs, so the fine stage's
+        dominant cost on a tunneled TPU (dispatch/readback latency + host
+        walk, BASELINE.md round-4 split) hides under coarse device compute
+        instead of serializing after it. The reference has no equivalent
+        (three sequential scripts, readme.md:40-66).
+
+        Results are bit-exact per molecule with the unoverlapped path for
+        the same grouping (pad invariance + row-independent programs); the
+        GROUPING follows coarse-chunk arrival order, which re-partitions the
+        group rng seeds vs ``sample()`` — distribution-equivalent, the same
+        argument as coarse bucket chunking (and pinned equal outright in
+        tests where one coarse chunk covers a bucket)."""
+        from collections import deque
+
+        total = feeder.total
+        blur_sets = feeder.blur
+        if not total:
+            return []
+        use_refine_loop = self._refine_native_eligible()
+        if self.refine_hook is not None and not use_refine_loop:
+            # no incremental driver for the Python refine path: collect
+            # everything, then run the serial search (correct, unoverlapped)
+            while not feeder.done:
+                feeder.collect_next()
+            return self.sample(blur_sets)
+        lattices: Dict[int, MoleculeLattice] = {}
+        results: List[Optional[TreeState]] = [None] * total
+        loop = (_NativeRefineLoop(self, blur_sets, results)
+                if use_refine_loop else None)
+        pending_lat = deque()
+
+        def on_chunks(chunks):
+            for idxs in chunks:
+                pending_lat.extend(self._dispatch_lattices(blur_sets, idxs))
+
+        def absorb_lattice(item):
+            chunk, out = item
+            self._collect_lattice(chunk, out, blur_sets, lattices)
+            if loop is not None:
+                # lattice chunks are bucket-homogeneous by construction
+                gbucket = bucket_for(blur_sets[chunk[0]]["h"].shape[0],
+                                     self.buckets)
+                cap = self.refine_group_cap
+                for c0 in range(0, len(chunk), cap):
+                    loop.add_group(chunk[c0: c0 + cap], gbucket, lattices)
+
+        while True:
+            on_chunks(feeder.pump())
+            while pending_lat and getattr(
+                    pending_lat[0][1], "is_ready", lambda: False)():
+                absorb_lattice(pending_lat.popleft())
+            if loop is not None and not loop.empty:
+                loop.step_one()
+            elif not feeder.done:
+                on_chunks(feeder.collect_next())
+            elif pending_lat:
+                absorb_lattice(pending_lat.popleft())   # blocking readback
+            else:
+                break
+        if loop is not None:
+            loop.drain()
+            return results
+        return self._search(blur_sets, lattices)
+
+    def _refine_native_eligible(self) -> bool:
+        """Native refine-search eligibility: gates must be verdict-style
+        (pure functions of (wid, sorted neighbor wids) the C++ can memoize
+        over a callback), and the hook must pad with the SAME bucket set —
+        the Python path derives each dispatch's pad from hook.buckets, and
+        bit-parity needs the native group bucket to equal it."""
+        if self.refine_hook is None or not self.refine_group_cap:
+            return False
+        hook_gate = self.refine_hook.can_assemble
+        if not (self.native_search
+                and os.environ.get("HIERDIFF_REFINE_NATIVE", "1") != "0"
+                and tuple(self.refine_hook.buckets) == self.buckets
+                and (self.can_assemble is None
+                     or hasattr(self.can_assemble, "verdict"))
+                and (hook_gate is None or hasattr(hook_gate, "verdict"))):
+            return False
+        from hierdiff_tpu import runtime
+        return runtime.treekit_available()
+
+    def _search(self, blur_sets, lattices) -> List[Optional[TreeState]]:
+        """Host beam search over precomputed lattices (stage-2 tail)."""
         if (self.refine_hook is None and self.native_search
                 and (self.can_assemble is None
                      or hasattr(self.can_assemble, "verdict"))):
@@ -305,21 +422,8 @@ class LatticeSampler:
             if runtime.treekit_available():
                 return self._sample_native(blur_sets, lattices)
         if self.refine_hook is not None and self.refine_group_cap:
-            hook_gate = self.refine_hook.can_assemble
-            # native eligibility: gates must be verdict-style (pure functions
-            # of (wid, sorted neighbor wids) the C++ can memoize over a
-            # callback), and the hook must pad with the SAME bucket set — the
-            # Python path derives each dispatch's pad from hook.buckets, and
-            # bit-parity needs the native group bucket to equal it
-            if (self.native_search
-                    and os.environ.get("HIERDIFF_REFINE_NATIVE", "1") != "0"
-                    and tuple(self.refine_hook.buckets) == self.buckets
-                    and (self.can_assemble is None
-                         or hasattr(self.can_assemble, "verdict"))
-                    and (hook_gate is None or hasattr(hook_gate, "verdict"))):
-                from hierdiff_tpu import runtime
-                if runtime.treekit_available():
-                    return self._sample_refine_native(blur_sets, lattices)
+            if self._refine_native_eligible():
+                return self._sample_refine_native(blur_sets, lattices)
             return self._sample_refine_pipelined(blur_sets, lattices)
         search = PQBeamSearch(
             LatticeExpander(lattices), beam_size=self.beam_size,
@@ -509,110 +613,118 @@ class LatticeSampler:
         same grouping/seed partition, same fleet composition per round, and
         the fused-check inputs are identical, so the device results and the
         walk/expansion decisions coincide stream-for-stream."""
+        results: List[Optional[TreeState]] = [None] * len(blur_sets)
+        loop = _NativeRefineLoop(self, blur_sets, results)
+        for members, gbucket in self._refine_groups(blur_sets):
+            loop.add_group(members, gbucket, lattices)
+        loop.drain()
+        return results
+
+
+class _NativeRefineLoop:
+    """Event loop for native refine-on group searches, factored so groups can
+    be added INCREMENTALLY: ``_sample_refine_native`` adds every group up
+    front (preserving the pinned bit-exact order), while
+    ``LatticeSampler.sample_streamed`` adds groups as their molecules' coarse
+    chunks land — the round dispatches then interleave with the NEXT coarse
+    chunks' device programs, hiding the fine stage's tunnel latency under
+    coarse compute (stage-1/2 overlap).
+
+    Group seeds come from the sampler rng (``getrandbits(64)``) at
+    ``add_group`` time, so a fixed (molecule set, grouping, seed) is
+    deterministic; different groupings re-partition the rng stream
+    (distribution-equivalent, same argument as coarse bucket chunking)."""
+
+    def __init__(self, sampler: "LatticeSampler", blur_sets, results):
         import random as _random
-        import time as _time
         from collections import deque
+
+        self.s = sampler
+        self.blur_sets = blur_sets
+        self.results = results
+        self.hook = sampler.refine_hook
+        self.master = sampler.rng if sampler.rng is not None else _random.Random(2022)
+        self.verdict = getattr(sampler.can_assemble, "verdict", None)
+        self.hook_verdict = (getattr(self.hook.can_assemble, "verdict", None)
+                             if self.hook.can_assemble is not None else None)
+        self.queue = deque()
+
+    @property
+    def empty(self) -> bool:
+        return not self.queue
+
+    def add_group(self, members, gbucket: int, lattices) -> None:
+        import random as _random
 
         from hierdiff_tpu import runtime
 
-        master = self.rng if self.rng is not None else _random.Random(2022)
-        hook = self.refine_hook
-        table = jnp.asarray(hook._size_table())
-        verdict = getattr(self.can_assemble, "verdict", None)
-        hook_verdict = (getattr(hook.can_assemble, "verdict", None)
-                        if hook.can_assemble is not None else None)
-        results: List[Optional[TreeState]] = [None] * len(blur_sets)
+        hook = self.hook
+        grng = _random.Random(self.master.getrandbits(64))
+        sizes = [self.blur_sets[i]["h"].shape[0] for i in members]
+        f = self.blur_sets[members[0]]["h"].shape[1]
+        feats = np.zeros((len(members), gbucket, f), np.float32)
+        pos = np.zeros((len(members), gbucket, 3), np.float32)
+        nmask = np.zeros((len(members), gbucket, 1), np.float32)
+        for r, i in enumerate(members):
+            n = sizes[r]
+            feats[r, :n] = self.blur_sets[i]["h"]
+            pos[r, :n] = self.blur_sets[i]["x"]
+            nmask[r, :n] = 1.0
+        g = {"members": members, "bucket": gbucket, "lattices": lattices,
+             "K": max(1, int(gbucket * hook.check_frac)),
+             "feats": feats, "pos": pos, "nmask": nmask,
+             "ns": runtime.NativeRefineSearch(
+                 lattices, members, sizes, self.s.beam_size, grng, gbucket,
+                 hook.check_frac, verdict=self.verdict,
+                 hook_verdict=self.hook_verdict,
+                 retry_final_gate=self.s.retry_final_gate)}
+        g["S"] = g["ns"].step(None, g["K"])
+        if g["S"] == 0:
+            self._finish(g)
+            return
+        self.queue.append((g, self._dispatch(g)))
 
-        def finish(g):
-            wids_list, ok, logp = g["ns"].finish()
-            for r, i in enumerate(g["members"]):
-                if ok[r]:
-                    results[i] = self._tree_from_lattice(
-                        blur_sets, lattices, i, wids_list[r], float(logp[r]))
+    def _finish(self, g) -> None:
+        wids_list, ok, logp = g["ns"].finish()
+        for r, i in enumerate(g["members"]):
+            if ok[r]:
+                self.results[i] = LatticeSampler._tree_from_lattice(
+                    self.blur_sets, g["lattices"], i, wids_list[r],
+                    float(logp[r]))
 
-        def dispatch(g):
-            """Pad + dispatch the group's active fleet; mirrors
-            RefineHook.dispatch_batch's chunking (all chunks enqueued with
-            eager readbacks before any is collected)."""
-            t0 = _time.perf_counter()
-            ns, nb, K, s_rows = g["ns"], g["bucket"], g["K"], g["S"]
-            mol = ns.fleet_mol[:s_rows]
-            max_states = max(1, 8192 // (nb * (1 + K)))
-            pending = []
-            for c0 in range(0, s_rows, max_states):
-                c1 = min(s_rows, c0 + max_states)
-                cnt = c1 - c0
-                sp = _next_pow2(cnt)
-                rows = mol[c0:c1]
-                feats = np.zeros((sp, nb, g["feats"].shape[2]), np.float32)
-                pos = np.zeros((sp, nb, 3), np.float32)
-                nmask = np.zeros((sp, nb, 1), np.float32)
-                feats[:cnt] = g["feats"][rows]
-                pos[:cnt] = g["pos"][rows]
-                nmask[:cnt] = g["nmask"][rows]
-                wids = np.full((sp, nb), -1, np.int64)
-                wids[:cnt] = ns.fleet_wids[c0:c1]
-                adj = np.zeros((sp, nb, nb), np.float32)
-                adj[:cnt] = ns.fleet_adj[c0:c1]
-                t1 = _time.perf_counter()
-                hook.stats["pack_s"] += t1 - t0
-                hook.stats["pack_calls"] += 1
-                dev = hook._fused_fn(nb, sp)(
-                    hook.params, jnp.asarray(feats), jnp.asarray(wids),
-                    jnp.asarray(pos), jnp.asarray(adj), jnp.asarray(nmask),
-                    table)
-                try:
-                    dev.copy_to_host_async()
-                except Exception:
-                    pass
-                t0 = _time.perf_counter()
-                hook.stats["dispatch_s"] += t0 - t1
-                hook.stats["score_s"] += t0 - t1
-                hook.stats["score_calls"] += 1
-                hook.stats["score_rows"] += sp
-                pending.append((cnt, dev))
-            return pending
+    def _dispatch(self, g):
+        """Pad + dispatch the group's active fleet through the hook's shared
+        chunk/pad policy (RefineHook.dispatch_arrays — ONE code path with
+        dispatch_batch, so the _fused_fn padding contract cannot skew)."""
+        ns, nb, s_rows = g["ns"], g["bucket"], g["S"]
+        mol = ns.fleet_mol[:s_rows]
+        return self.hook.dispatch_arrays(
+            nb, g["feats"][mol], g["pos"][mol],
+            np.ascontiguousarray(ns.fleet_adj[:s_rows]),
+            g["nmask"][mol],
+            np.ascontiguousarray(ns.fleet_wids[:s_rows]))
 
-        queue = deque()
-        for members, gbucket in self._refine_groups(blur_sets):
-            grng = _random.Random(master.getrandbits(64))
-            sizes = [blur_sets[i]["h"].shape[0] for i in members]
-            f = blur_sets[members[0]]["h"].shape[1]
-            feats = np.zeros((len(members), gbucket, f), np.float32)
-            pos = np.zeros((len(members), gbucket, 3), np.float32)
-            nmask = np.zeros((len(members), gbucket, 1), np.float32)
-            for r, i in enumerate(members):
-                n = sizes[r]
-                feats[r, :n] = blur_sets[i]["h"]
-                pos[r, :n] = blur_sets[i]["x"]
-                nmask[r, :n] = 1.0
-            g = {"members": members, "bucket": gbucket,
-                 "K": max(1, int(gbucket * hook.check_frac)),
-                 "feats": feats, "pos": pos, "nmask": nmask,
-                 "ns": runtime.NativeRefineSearch(
-                     lattices, members, sizes, self.beam_size, grng, gbucket,
-                     hook.check_frac, verdict=verdict,
-                     hook_verdict=hook_verdict,
-                     retry_final_gate=self.retry_final_gate)}
-            g["S"] = g["ns"].step(None, g["K"])
-            if g["S"] == 0:
-                finish(g)
-                continue
-            queue.append((g, dispatch(g)))
+    def step_one(self) -> None:
+        """Advance the OLDEST in-flight group one round (blocking on its
+        fused-check readback; all other groups' dispatches stay in flight)."""
+        import time as _time
 
-        while queue:
-            g, pending = queue.popleft()
-            t0 = _time.perf_counter()
-            packed = np.concatenate(
-                [np.asarray(dev)[:cnt] for cnt, dev in pending]
-            ) if pending else None
-            t1 = _time.perf_counter()
-            hook.stats["collect_s"] += t1 - t0
-            hook.stats["score_s"] += t1 - t0
-            g["S"] = g["ns"].step(packed, g["K"])
-            hook.stats["walk_s"] += _time.perf_counter() - t1
-            if g["S"] == 0:
-                finish(g)
-                continue
-            queue.append((g, dispatch(g)))
-        return results
+        hook = self.hook
+        g, pending = self.queue.popleft()
+        t0 = _time.perf_counter()
+        packed = np.concatenate(
+            [np.asarray(dev)[:cnt] for cnt, dev in pending]
+        ) if pending else None
+        t1 = _time.perf_counter()
+        hook.stats["collect_s"] += t1 - t0
+        hook.stats["score_s"] += t1 - t0
+        g["S"] = g["ns"].step(packed, g["K"])
+        hook.stats["walk_s"] += _time.perf_counter() - t1
+        if g["S"] == 0:
+            self._finish(g)
+            return
+        self.queue.append((g, self._dispatch(g)))
+
+    def drain(self) -> None:
+        while self.queue:
+            self.step_one()

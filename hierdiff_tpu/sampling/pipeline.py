@@ -16,6 +16,7 @@ reference (ar_sampling_nosize.py:388).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -59,6 +60,74 @@ def round_int_features(h: np.ndarray, int_nf: int) -> np.ndarray:
     """Integer blur dims rounded at the stage-1/2 hand-off
     (reference: ar_sampling_nosize.py:388)."""
     return np.concatenate([np.round(h[:, :int_nf]), h[:, int_nf:]], axis=1)
+
+
+class _BlurFeeder:
+    """Streams stage-1 coarse chunks into ``LatticeSampler.sample_streamed``.
+
+    Keeps a small budget of coarse chunk programs dispatched (default 2 —
+    enough that the device never idles between chunks while fine-stage
+    programs can still interleave between them; a monolithic all-chunks
+    enqueue would make every fine-round dispatch wait for the ENTIRE coarse
+    stage). ``pump()`` is non-blocking: it absorbs any chunks whose packed
+    readback is already on host and tops the budget back up.
+    ``collect_next()`` blocks on the oldest in-flight chunk. Chunk plan and
+    rng fold are shared with ``GenerationPipeline.sample_blur``, so the
+    coarse samples are bit-identical to the unoverlapped path."""
+
+    def __init__(self, pipe: "GenerationPipeline", rng_key, counts: np.ndarray,
+                 batch_size: Optional[int] = None,
+                 inflight: Optional[int] = None):
+        from collections import deque
+
+        self.pipe = pipe
+        self.rng_key = rng_key
+        self.counts = counts
+        self.batch_size = batch_size
+        self.chunks = pipe._plan_chunks(counts, batch_size)
+        self.total = len(counts)
+        self.blur: List[Optional[Dict[str, np.ndarray]]] = [None] * self.total
+        self.inflight = deque()
+        self.pos = 0
+        self.budget = int(inflight or os.environ.get("HIERDIFF_COARSE_INFLIGHT", "2"))
+        self.t_last_coarse: Optional[float] = None
+        self._top_up()
+
+    def _top_up(self) -> None:
+        while len(self.inflight) < self.budget and self.pos < len(self.chunks):
+            nb, chunk = self.chunks[self.pos]
+            self.pos += 1
+            xh = self.pipe._dispatch_coarse(self.rng_key, self.counts, nb,
+                                            chunk, self.batch_size)
+            self.inflight.append((chunk, xh))
+
+    @property
+    def done(self) -> bool:
+        return not self.inflight and self.pos >= len(self.chunks)
+
+    def _absorb(self, chunk, xh) -> list:
+        self.pipe._absorb_coarse(chunk, np.asarray(xh), self.counts, self.blur)
+        if self.done:
+            import time
+            self.t_last_coarse = time.perf_counter()
+        return list(chunk)
+
+    def pump(self) -> List[list]:
+        out = []
+        while self.inflight and getattr(
+                self.inflight[0][1], "is_ready", lambda: False)():
+            chunk, xh = self.inflight.popleft()
+            self._top_up()               # keep the device fed before reading
+            out.append(self._absorb(chunk, xh))
+        self._top_up()
+        return out
+
+    def collect_next(self) -> List[list]:
+        if not self.inflight:
+            return []
+        chunk, xh = self.inflight.popleft()
+        self._top_up()                   # dispatch before the blocking read
+        return [self._absorb(chunk, xh)]
 
 
 @dataclasses.dataclass
@@ -123,6 +192,82 @@ class GenerationPipeline:
         self.mesh = mesh
         self.sample_steps = sample_steps
 
+    def _sample_counts(self, rng_np, n_molecules: int,
+                       max_n: Optional[int] = None) -> np.ndarray:
+        counts = self.nodes_dist.sample_np(rng_np, n_molecules)
+        if self.max_n_cap:
+            counts = np.minimum(counts, self.max_n_cap)
+        if max_n is not None:
+            counts = np.minimum(counts, max_n)
+        return counts
+
+    def _plan_chunks(self, counts: np.ndarray,
+                     batch_size: Optional[int] = None) -> List[tuple]:
+        """Coarse chunk plan [(bucket, idx_list), ...]: group by size bucket
+        FIRST, then chunk — a chunk never pads beyond its own bucket (one
+        83-node outlier must not drag a batch of 15-node trees to the 96
+        bucket; E[N^2] is ~25x smaller this way). Off-mesh the remainder is
+        split into pow2 pieces (a trailing 800-molecule chunk padded to 1024
+        wastes 28% of its (B,N,N) device time). Shared by ``sample_blur``
+        and the overlapped feeder so the rng partition (fold_in by the
+        chunk's first index) is identical in both modes."""
+        from hierdiff_tpu.data.collate import DEFAULT_BUCKETS, bucket_for
+
+        buckets = self.sample_buckets or DEFAULT_BUCKETS
+        bs = batch_size or (64 if self.mesh is None else 64 * self.mesh.devices.size)
+        by_bucket: Dict[int, list] = {}
+        for i, c in enumerate(counts):
+            by_bucket.setdefault(bucket_for(int(c), buckets), []).append(i)
+        chunks = []
+        for nb, idxs in sorted(by_bucket.items()):
+            takes = (pow2_chunks(len(idxs), bs, 64) if self.mesh is None
+                     else [min(bs, len(idxs) - c) for c in range(0, len(idxs), bs)])
+            c0 = 0
+            for take in takes:
+                chunks.append((nb, idxs[c0: c0 + take]))
+                c0 += take
+        return chunks
+
+    def _dispatch_coarse(self, rng_key, counts: np.ndarray, nb: int, chunk,
+                         batch_size: Optional[int] = None):
+        """Async half of one coarse chunk: dispatch the 1000-step scan,
+        return the packed (B, N, 3+F) device array (readback not blocked).
+        rng = fold_in(rng_key, first molecule index) — the partition is a
+        pure function of the chunk plan, so overlapped and serial runs draw
+        IDENTICAL coarse samples."""
+        chunk = np.asarray(chunk)
+        ck = counts[chunk]
+        bs = batch_size or (64 if self.mesh is None else 64 * self.mesh.devices.size)
+        # pow2 batch pad: bounded compile-cache growth off-mesh
+        pad_b = _next_pow2(len(chunk)) if self.mesh is None else bs
+        ck_pad = np.concatenate([ck, np.ones(pad_b - len(chunk), ck.dtype)])
+        nm, em = make_masks_for_counts(ck_pad, nb)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = NamedSharding(self.mesh, P("data"))
+            nm = jax.device_put(nm, data)
+            em = jax.device_put(em, data)
+        xh = sample_coarse(self.coarse_model, self.coarse_params,
+                           jax.random.fold_in(rng_key, int(chunk[0])), nm, em,
+                           steps=self.sample_steps, packed=True)
+        try:
+            xh.copy_to_host_async()
+        except Exception:
+            pass
+        return xh
+
+    def _absorb_coarse(self, chunk, xh: np.ndarray, counts: np.ndarray,
+                       out: list) -> None:
+        """Blocking half: unpack one chunk's packed readback into per-
+        molecule blur dicts (integer dims rounded at the stage hand-off,
+        ar_sampling_nosize.py:388)."""
+        nd = self.coarse_model.n_dims
+        x, h = xh[..., :nd], xh[..., nd:]
+        for row, i in enumerate(chunk):
+            c = int(counts[i])
+            out[i] = {"x": x[row, :c],
+                      "h": round_int_features(h[row, :c], self.int_nf)}
+
     def sample_blur(self, rng_key, n_molecules: int, max_n: Optional[int] = None,
                     rng_np: Optional[np.random.Generator] = None,
                     batch_size: Optional[int] = None) -> List[Dict[str, np.ndarray]]:
@@ -135,76 +280,52 @@ class GenerationPipeline:
         then runs data-parallel across all chips with zero collectives (the
         reverse diffusion of distinct molecules is embarrassingly parallel).
         """
-        from hierdiff_tpu.data.collate import DEFAULT_BUCKETS, bucket_for
-
-        buckets = self.sample_buckets or DEFAULT_BUCKETS
         rng_np = rng_np or np.random.default_rng(0)
-        counts = self.nodes_dist.sample_np(rng_np, n_molecules)
-        if self.max_n_cap:
-            counts = np.minimum(counts, self.max_n_cap)
-        if max_n is not None:
-            counts = np.minimum(counts, max_n)
-        bs = batch_size or (64 if self.mesh is None else 64 * self.mesh.devices.size)
-        # group by size bucket FIRST, then chunk: a chunk never pads beyond
-        # its own bucket (one 83-node outlier must not drag a batch of
-        # 15-node trees to the 96 bucket — E[N^2] is ~25x smaller this way)
-        by_bucket: Dict[int, list] = {}
-        for i, c in enumerate(counts):
-            by_bucket.setdefault(bucket_for(int(c), buckets), []).append(i)
+        counts = self._sample_counts(rng_np, n_molecules, max_n)
         out: List[Optional[Dict[str, np.ndarray]]] = [None] * n_molecules
-        # off-mesh: greedy pow2 chunking — a trailing 800-molecule chunk
-        # padded to 1024 wastes 28% of its (B,N,N) device time; splitting
-        # the remainder into pow2 pieces wastes ~nothing (measured: the
-        # batch-1024 pipeline was LOSING to 256 by 11% purely from this)
-        chunks = []
-        for nb, idxs in sorted(by_bucket.items()):
-            takes = (pow2_chunks(len(idxs), bs, 64) if self.mesh is None
-                     else [min(bs, len(idxs) - c) for c in range(0, len(idxs), bs)])
-            c0 = 0
-            for take in takes:
-                chunks.append((nb, idxs[c0: c0 + take]))
-                c0 += take
         # dispatch every chunk first (JAX dispatch is async — host packing
         # of chunk k+1 overlaps device compute of chunk k), then collect
         # each as ONE packed (B, N, 3+F) readback (see sampling/lattice.py)
         pending = []
-        for nb, chunk in chunks:
-            chunk = np.asarray(chunk)
-            c0 = int(chunk[0])
-            ck = counts[chunk]
-            # pow2 batch pad: bounded compile-cache growth off-mesh
-            pad_b = _next_pow2(len(chunk)) if self.mesh is None else bs
-            ck_pad = np.concatenate([ck, np.ones(pad_b - len(chunk), ck.dtype)])
-            nm, em = make_masks_for_counts(ck_pad, nb)
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                data = NamedSharding(self.mesh, P("data"))
-                nm = jax.device_put(nm, data)
-                em = jax.device_put(em, data)
-            xh = sample_coarse(self.coarse_model, self.coarse_params,
-                               jax.random.fold_in(rng_key, c0), nm, em,
-                               steps=self.sample_steps, packed=True)
-            pending.append((chunk, xh))
-        nd = self.coarse_model.n_dims
+        for nb, chunk in self._plan_chunks(counts, batch_size):
+            pending.append((chunk, self._dispatch_coarse(
+                rng_key, counts, nb, chunk, batch_size)))
         for chunk, xh in pending:
-            xh = np.asarray(xh)                   # ONE readback per chunk
-            x, h = xh[..., :nd], xh[..., nd:]
-            for row, i in enumerate(chunk):
-                c = int(counts[i])
-                out[i] = {"x": x[row, :c],
-                          "h": round_int_features(h[row, :c], self.int_nf)}
+            self._absorb_coarse(chunk, np.asarray(xh), counts, out)
         return out  # type: ignore[return-value]
 
     def run(self, rng_key, n_molecules: int, reconstruct: bool = True,
-            n_workers: int = 0, batch_size: Optional[int] = None) -> PipelineResult:
+            n_workers: int = 0, batch_size: Optional[int] = None,
+            overlap: Optional[bool] = None) -> PipelineResult:
+        """overlap: stream stage-1 chunks into stage 2 (_BlurFeeder +
+        LatticeSampler.sample_streamed) so fine-stage rounds interleave with
+        the remaining coarse chunks' device programs instead of serializing
+        after the whole coarse stage. Default (None) = on whenever supported
+        (off-mesh lattice sampler); coarse samples are bit-identical either
+        way, the fine-stage group rng is re-partitioned (distribution-
+        equivalent — see sample_streamed). ``stats['t_coarse']`` then means
+        "wall until the LAST coarse chunk landed" (fine work already ran
+        under it) and ``t_fine`` the tail after."""
         import time
 
+        if overlap is None:
+            overlap = os.environ.get("HIERDIFF_PIPE_OVERLAP", "1") != "0"
+        overlap = (overlap and self.mesh is None
+                   and hasattr(self.sampler, "sample_streamed"))
         rng_np = np.random.default_rng(int(jax.random.randint(rng_key, (), 0, 2**31 - 1)))
         t0 = time.perf_counter()
-        blur = self.sample_blur(jax.random.fold_in(rng_key, 1), n_molecules,
-                                rng_np=rng_np, batch_size=batch_size)
-        t1 = time.perf_counter()
-        trees = self.sampler.sample(blur)
+        if overlap:
+            counts = self._sample_counts(rng_np, n_molecules)
+            feeder = _BlurFeeder(self, jax.random.fold_in(rng_key, 1), counts,
+                                 batch_size)
+            trees = self.sampler.sample_streamed(feeder)
+            blur = feeder.blur
+            t1 = feeder.t_last_coarse or time.perf_counter()
+        else:
+            blur = self.sample_blur(jax.random.fold_in(rng_key, 1), n_molecules,
+                                    rng_np=rng_np, batch_size=batch_size)
+            t1 = time.perf_counter()
+            trees = self.sampler.sample(blur)
         # end-of-search repair of non-assemblable fragments
         # (reference: model_refine.py:252-299 check_final_tree)
         hook = self.sampler.refine_hook
@@ -254,12 +375,22 @@ class GenerationPipeline:
         pending = []
         with mp.Pool(max(n_workers, 1), initializer=_pool_init,
                      initargs=(self.vocab, memoize)) as pool:
+            overlap = (self.mesh is None
+                       and hasattr(self.sampler, "sample_streamed")
+                       and os.environ.get("HIERDIFF_PIPE_OVERLAP", "1") != "0")
             for k, c0 in enumerate(range(0, n_molecules, chunk_size)):
                 m = min(chunk_size, n_molecules - c0)
                 td = time.perf_counter()
-                blur = self.sample_blur(jax.random.fold_in(rng_key, 1000 + k),
-                                        m, rng_np=rng_np, batch_size=batch_size)
-                trees = self.sampler.sample(blur)
+                if overlap:
+                    counts = self._sample_counts(rng_np, m)
+                    feeder = _BlurFeeder(self, jax.random.fold_in(rng_key, 1000 + k),
+                                         counts, batch_size)
+                    trees = self.sampler.sample_streamed(feeder)
+                    blur = feeder.blur
+                else:
+                    blur = self.sample_blur(jax.random.fold_in(rng_key, 1000 + k),
+                                            m, rng_np=rng_np, batch_size=batch_size)
+                    trees = self.sampler.sample(blur)
                 if hook is not None and hasattr(hook, "finalize"):
                     trees = [hook.finalize(t) if t is not None else None
                              for t in trees]

@@ -440,6 +440,16 @@ class RefineHook:
         """(reference: model_refine.py:175-249)"""
         return self.check_batch([state])[0]
 
+    def fleet_chunk_rows(self, nb: int) -> int:
+        """Max fleet rows per fused-check dispatch at bucket nb: bounds the
+        device grid to (1+K)*rows*nb masked-node variants per program. The
+        ONE source of the chunking policy — shared by ``dispatch_batch``
+        (Python TreeState fleets) and ``dispatch_arrays`` (the native
+        search's packed fleets) so the pad/chunk contract with ``_fused_fn``
+        cannot skew between the two drivers."""
+        K = max(1, int(nb * self.check_frac))
+        return max(1, 8192 // (nb * (1 + K)))
+
     def dispatch_batch(self, states: List[TreeState]):
         """Async half of ``check_batch``: pack and dispatch EVERY fleet
         chunk without blocking (JAX dispatch is async; the packed readback
@@ -452,8 +462,7 @@ class RefineHook:
             return (None, [])
         nb = bucket_for(max(states[si].n for si in act), self.buckets)
         K = max(1, int(nb * self.check_frac))
-        # bound device grid ((1+K)*S*nb variants per call); chunks share keys
-        max_states = max(1, 8192 // (nb * (1 + K)))
+        max_states = self.fleet_chunk_rows(nb)
         pending = []
         for c0 in range(0, len(act), max_states):
             chunk = act[c0: c0 + max_states]
@@ -463,6 +472,43 @@ class RefineHook:
                 base, [states[si].wids for si in chunk], nb, sp)
             pending.append((chunk, dev))
         return (K, pending)
+
+    def dispatch_arrays(self, nb: int, feats: np.ndarray, pos: np.ndarray,
+                        adj: np.ndarray, nmask: np.ndarray, wids: np.ndarray):
+        """Chunk + pow2-pad + dispatch an ALREADY-PACKED fleet (``rows``
+        states at bucket nb, arrays shaped (rows, nb, ...)) through the
+        fused check. Same policy as ``dispatch_batch`` (one
+        ``fleet_chunk_rows`` bound, eager readbacks, padding rows read as
+        unassigned) minus the TreeState packing — the native refine search
+        hands fleets over as contiguous arrays. Returns [(cnt, dev), ...];
+        collect each with np.asarray(dev)[:cnt]."""
+        import time as _time
+
+        from hierdiff_tpu.sampling.lattice import _next_pow2
+
+        rows = len(feats)
+        max_states = self.fleet_chunk_rows(nb)
+        pending = []
+        for c0 in range(0, rows, max_states):
+            c1 = min(rows, c0 + max_states)
+            cnt = c1 - c0
+            sp = _next_pow2(cnt)
+            t0 = _time.perf_counter()
+            fe = np.zeros((sp,) + feats.shape[1:], np.float32)
+            po = np.zeros((sp,) + pos.shape[1:], np.float32)
+            ad = np.zeros((sp,) + adj.shape[1:], np.float32)
+            nm = np.zeros((sp,) + nmask.shape[1:], np.float32)
+            fe[:cnt] = feats[c0:c1]
+            po[:cnt] = pos[c0:c1]
+            ad[:cnt] = adj[c0:c1]
+            nm[:cnt] = nmask[c0:c1]
+            base = (jnp.asarray(fe), jnp.asarray(po), jnp.asarray(ad),
+                    jnp.asarray(nm))
+            self.stats["pack_s"] += _time.perf_counter() - t0
+            self.stats["pack_calls"] += 1
+            dev = self._dispatch_fused(base, list(wids[c0:c1]), nb, sp)
+            pending.append((cnt, dev))
+        return pending
 
     def collect_batch(self, token, states: List[TreeState]
                       ) -> List[Tuple[TreeState, float, bool]]:

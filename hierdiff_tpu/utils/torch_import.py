@@ -233,6 +233,20 @@ def convert_coarse(sd: StateDict) -> Tuple[Params, Dict[str, object], Set[str]]:
         # GNN input = [x(3), h, time] (en_dynamics.py:27,90)
         in_cols = int(gnn["embedding"]["kernel"].shape[0])
         inferred["in_plus_context"] = in_cols - 3 - 1
+        # Deliberate divergence (PARITY.md): this port sizes the GNN output
+        # to the FULL input width (vel + every h channel incl. context),
+        # while the reference uses out_node_nf = 3 + in_node_nf with context
+        # EXCLUDED (en_dynamics.py:27) — and then mis-slices it, so context
+        # gnn checkpoints are unusable in the reference too. Refuse clearly
+        # instead of failing on a shape mismatch deep in the copier.
+        out_cols = int(gnn["embedding_out"]["kernel"].shape[1])
+        if out_cols != in_cols:
+            raise ImportError_(
+                f"gnn_dynamics embedding_out width {out_cols} != input "
+                f"width {in_cols}: the checkpoint was built with "
+                "context_node_nf > 0, where the reference GNN's output "
+                "excludes context columns (en_dynamics.py:27); this port "
+                "deliberately diverges (see PARITY.md) and cannot load it")
         return params, inferred, tr.leftovers(ignore=(r"gamma\.gamma", r"buffer"))
     egnn, inferred = _coarse_egnn(tr, "dynamics.egnn")
     params: Params = {"dynamics": {"egnn": egnn}}

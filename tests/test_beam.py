@@ -367,6 +367,39 @@ def test_pipeline_aligns_refine_hook_buckets(fine_model):
     assert tuple(pipe.sampler.refine_hook.buckets) == tuple(pipe.sampler.buckets)
 
 
+def test_pipeline_overlap_blur_bit_identical(fine_model):
+    """run(overlap=True) streams stage-1 chunks into stage 2, but the chunk
+    plan and per-chunk rng fold are shared with sample_blur — the COARSE
+    samples must be bit-identical to the serial path; trees all assemble in
+    both modes (fine-stage grouping is re-partitioned, so trees are
+    distribution-equivalent, not pinned equal here)."""
+    from hierdiff_tpu.data.assets import load_geom_histogram
+    from hierdiff_tpu.models.diffusion import CoarseDiffusion
+    from hierdiff_tpu.sampling.coarse import make_masks_for_counts
+    from hierdiff_tpu.sampling.pipeline import GenerationPipeline
+
+    gen, denoise, dparams = fine_model
+    coarse = CoarseDiffusion(in_node_nf=8, timesteps=4, hidden_nf=32,
+                             n_layers=1)
+    nm, em = make_masks_for_counts(np.array([5, 7]), 8)
+    cb = {"positions": jnp.zeros((2, 8, 3)), "node_feature": jnp.zeros((2, 8, 8)),
+          "atom_mask": jnp.asarray(nm), "edge_mask": jnp.asarray(em)}
+    cparams = jax.jit(lambda r, b, r2: coarse.init(r, b, r2, train=True))(
+        jax.random.PRNGKey(0), cb, jax.random.PRNGKey(1))
+    pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
+                              histogram=load_geom_histogram(), beam_size=2,
+                              max_n_cap=16)
+    r_serial = pipe.run(jax.random.PRNGKey(5), 10, reconstruct=False,
+                        batch_size=4, overlap=False)
+    r_overlap = pipe.run(jax.random.PRNGKey(5), 10, reconstruct=False,
+                         batch_size=4, overlap=True)
+    for a, b in zip(r_serial.blur, r_overlap.blur):
+        np.testing.assert_array_equal(a["x"], b["x"])
+        np.testing.assert_array_equal(a["h"], b["h"])
+    assert sum(t is not None for t in r_serial.trees) == 10
+    assert sum(t is not None for t in r_overlap.trees) == 10
+
+
 def test_lattice_bucket_pad_invariance(fine_model):
     """The lattice trajectory must not depend on the pad bucket: n=5 trees
     padded to 8 vs 16 give identical trees (masked padding contributes

@@ -444,3 +444,78 @@ def test_native_refine_search_propagates_verdict_errors(monkeypatch):
     monkeypatch.setenv("HIERDIFF_REFINE_NATIVE", "1")
     with pytest.raises(RuntimeError, match="boom"):
         make(gate, None).sample(blur)
+
+
+class _ListFeeder:
+    """Minimal sample_streamed feeder: hands pre-computed blur sets over in
+    fixed chunks (no device dispatch) — isolates the streaming event loop."""
+
+    def __init__(self, blur, chunks):
+        self.total = len(blur)
+        self.blur = [None] * len(blur)
+        self._src = blur
+        self._chunks = [list(c) for c in chunks]
+
+    @property
+    def done(self):
+        return not self._chunks
+
+    def pump(self):
+        return []
+
+    def collect_next(self):
+        if not self._chunks:
+            return []
+        idxs = self._chunks.pop(0)
+        for i in idxs:
+            self.blur[i] = self._src[i]
+        return [idxs]
+
+
+@pytest.mark.skipif(not runtime.treekit_available(), reason="no native lib")
+@pytest.mark.parametrize("reject", [0.0, 0.25])
+def test_sample_streamed_matches_sample(monkeypatch, reject):
+    """The stage-1/2 overlapped driver (sample_streamed) is BIT-EXACT vs
+    sample() when the feeder's chunks reproduce sample()'s bucket grouping:
+    same groups in the same order -> same rng partition -> identical trees
+    (wids incl. refine swaps, adjacency, logp to the bit). Different chunk
+    arrivals only re-partition the group rng (distribution-equivalent)."""
+    blur, make = _refine_setup()
+    gate = _verdict_gate(reject) if reject else None
+    hook_gate = _verdict_gate(reject / 2) if reject else None
+    monkeypatch.setenv("HIERDIFF_REFINE_NATIVE", "1")
+
+    want = make(gate, hook_gate).sample(blur)
+    # one feeder chunk per size bucket, in bucket order = sample()'s grouping
+    sampler = make(gate, hook_gate)
+    from hierdiff_tpu.data.collate import bucket_for
+    by_bucket = {}
+    for i, jt in enumerate(blur):
+        by_bucket.setdefault(bucket_for(jt["h"].shape[0], sampler.buckets),
+                             []).append(i)
+    chunks = [idxs for _nb, idxs in sorted(by_bucket.items())]
+    got = sampler.sample_streamed(_ListFeeder(blur, chunks))
+
+    assert any(r is not None for r in want)
+    for a, b in zip(got, want):
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(a.wids, b.wids)
+        np.testing.assert_array_equal(a.adj, b.adj)
+        assert a.logp == b.logp
+
+
+def test_sample_streamed_python_fallback(monkeypatch):
+    """With the native path disabled, sample_streamed collects the feeder
+    and delegates to the serial search — results equal sample() exactly."""
+    blur, make = _refine_setup(n_mols=(6,))
+    monkeypatch.setenv("HIERDIFF_REFINE_NATIVE", "0")
+    want = make().sample(blur)
+    got = make().sample_streamed(_ListFeeder(blur, [list(range(len(blur)))]))
+    for a, b in zip(got, want):
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(a.wids, b.wids)
+        assert a.logp == b.logp
