@@ -179,9 +179,14 @@ def _synthetic_gate(reject_frac: float):
     the reference's actual cost driver (ar_sampling_nosize.py:199-200)."""
     import zlib
 
+    stats = {"calls": 0, "rejects": 0}
+
     def verdict(wid: int, neis: tuple) -> bool:
         h = zlib.crc32(repr((int(wid), tuple(neis))).encode()) / 0xFFFFFFFF
-        return h >= reject_frac
+        ok = h >= reject_frac
+        stats["calls"] += 1
+        stats["rejects"] += not ok
+        return ok
 
     def gate(state, i: int) -> bool:
         wid = int(state.wids[i])
@@ -195,6 +200,7 @@ def _synthetic_gate(reject_frac: float):
         return verdict(wid, neis)
 
     gate.verdict = verdict  # native beam search fast path
+    gate.stats = stats      # unique-key verdict calls (C++ memoizes keys)
     return gate
 
 
@@ -284,9 +290,12 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
         jax.profiler.stop_trace()
     if refine_hook is not None and os.environ.get("HIERDIFF_BENCH_STATS"):
         # where the refine-on fine stage's wall goes (see RefineHook.stats)
-        print(json.dumps({"hook_stats": {
+        out = {"hook_stats": {
             k: (round(v, 3) if isinstance(v, float) else v)
-            for k, v in refine_hook.stats.items()}}), flush=True)
+            for k, v in refine_hook.stats.items()}}
+        if gate is not None:
+            out["gate_stats"] = dict(gate.stats)
+        print(json.dumps(out), flush=True)
     ok = sum(t is not None for t in result.trees)
     st = result.stats or {}
     n_steps = steps or coarse.timesteps

@@ -75,6 +75,20 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _group_seed(base: int, members) -> int:
+    """Per-group rng seed for the refine-on searches: one master draw
+    (``base``) mixed with the group's FIRST molecule index. Groups partition
+    the molecules, so first indices are unique — and the seed is a pure
+    function of the group's identity, not of the order groups were created
+    in. That is what makes ``sample_streamed`` bit-exact with ``sample()``:
+    the streamed driver emits full groups on arrival and remainders at
+    flush (a different creation ORDER than the serial driver), but both
+    form the same group partition, so every group draws the identical
+    tiebreak stream. Shared by the Python pipelined and native (C++)
+    searches — their cross-parity pin depends on it."""
+    return (base ^ ((int(members[0]) + 1) * 0x9E3779B97F4A7C15)) & (2**64 - 1)
+
+
 def pow2_chunks(n: int, cap: int, min_chunk: int = 4):
     """Greedy pow2 decomposition of a bucket population into chunk sizes.
 
@@ -336,12 +350,17 @@ class LatticeSampler:
         instead of serializing after it. The reference has no equivalent
         (three sequential scripts, readme.md:40-66).
 
-        Results are bit-exact per molecule with the unoverlapped path for
-        the same grouping (pad invariance + row-independent programs); the
-        GROUPING follows coarse-chunk arrival order, which re-partitions the
-        group rng seeds vs ``sample()`` — distribution-equivalent, the same
-        argument as coarse bucket chunking (and pinned equal outright in
-        tests where one coarse chunk covers a bucket)."""
+        Results vs the unoverlapped ``sample()``: per-bucket pooling
+        reproduces the serial group partition for any feeder that delivers
+        molecules in index order (the coarse chunk plan always does), and
+        ``_group_seed`` ties each group's rng to the group's identity rather
+        than its creation order — BIT-exact when the per-arrival lattice
+        programs also run at the same batch shapes, and equal up to the
+        measured ~2e-6 f32 batch-shape rounding in lattice logits when a
+        bucket's molecules arrive split differently (decision flips from
+        that rounding are possible in principle — distribution-equivalent,
+        the usual bucket-chunking argument). Pinned both ways:
+        tests/test_runtime.py test_sample_streamed_matches_sample."""
         from collections import deque
 
         total = feeder.total
@@ -365,6 +384,15 @@ class LatticeSampler:
             for idxs in chunks:
                 pending_lat.extend(self._dispatch_lattices(blur_sets, idxs))
 
+        # per-bucket pools: emit a group the moment ``cap`` members are
+        # available, keep the (<cap) remainders pooled until every lattice
+        # has landed. Grouping per ARRIVED CHUNK instead would make each
+        # (coarse chunk x bucket) tail its own undersized group — measured
+        # 2.2x t_fine at 128 molecules (more fused-check dispatches, each
+        # paying the ~55 ms tunnel latency, on less-full fleets).
+        pools: Dict[int, List[int]] = {}
+        flushed = False
+
         def absorb_lattice(item):
             chunk, out = item
             self._collect_lattice(chunk, out, blur_sets, lattices)
@@ -372,15 +400,30 @@ class LatticeSampler:
                 # lattice chunks are bucket-homogeneous by construction
                 gbucket = bucket_for(blur_sets[chunk[0]]["h"].shape[0],
                                      self.buckets)
+                pool = pools.setdefault(gbucket, [])
+                pool.extend(chunk)
                 cap = self.refine_group_cap
-                for c0 in range(0, len(chunk), cap):
-                    loop.add_group(chunk[c0: c0 + cap], gbucket, lattices)
+                while len(pool) >= cap:
+                    loop.add_group(pool[:cap], gbucket, lattices)
+                    del pool[:cap]
 
         while True:
             on_chunks(feeder.pump())
             while pending_lat and getattr(
                     pending_lat[0][1], "is_ready", lambda: False)():
                 absorb_lattice(pending_lat.popleft())
+            if loop is not None and feeder.done and not pending_lat \
+                    and not flushed:
+                # remainder flush in sorted-bucket order = the serial
+                # grouping whenever each bucket held < cap molecules (the
+                # pinned parity case); larger buckets' remainders land after
+                # the full groups instead of interleaved (seed re-partition,
+                # distribution-equivalent)
+                flushed = True
+                for nb in sorted(pools):
+                    if pools[nb]:
+                        loop.add_group(pools[nb], nb, lattices)
+                        pools[nb] = []
             if loop is not None and not loop.empty:
                 loop.step_one()
             elif not feeder.done:
@@ -459,17 +502,19 @@ class LatticeSampler:
         device programs queue back-to-back and readbacks (enqueued eagerly
         via copy_to_host_async) overlap the other groups' host work.
 
-        Per-group searches are seeded from the master rng
-        (``getrandbits(64)`` in group order), so results are deterministic
-        for a fixed (molecule set, grouping, seed) but re-partition the rng
-        tiebreak stream vs the lockstep search — distribution-equivalent,
-        same situation as the coarse stage's bucket-chunked rng. Pipelining
-        itself is bit-exact: execution order WITHIN a group is unchanged
+        Per-group searches are seeded by ``_group_seed`` (one master draw
+        mixed with the group's first molecule index — order-independent), so
+        results are deterministic for a fixed (molecule set, grouping, seed)
+        but re-partition the rng tiebreak stream vs the lockstep search —
+        distribution-equivalent, same situation as the coarse stage's
+        bucket-chunked rng. Pipelining itself is bit-exact: execution order
+        WITHIN a group is unchanged
         (pinned by test_refine_pipelined_matches_sequential_groups)."""
         import random as _random
         from collections import deque
 
         master = self.rng if self.rng is not None else _random.Random(2022)
+        seed_base = master.getrandbits(64)
         # group bucket = the sampler bucket the group was formed under —
         # lanes never straddle buckets so that the merged dispatch's pad
         # bucket equals every member group's own (all of a group's
@@ -491,7 +536,7 @@ class LatticeSampler:
             search = PQBeamSearch(
                 expander, beam_size=self.beam_size,
                 can_assemble=self.can_assemble, refine_hook=hook,
-                rng=_random.Random(master.getrandbits(64)),
+                rng=_random.Random(_group_seed(seed_base, members)),
                 retry_final_gate=self.retry_final_gate)
             gen = search.run_rounds(self._init_states(blur_sets, members))
             try:
@@ -586,7 +631,7 @@ class LatticeSampler:
         """(members, bucket) groups for the refine-on searches: molecules
         grouped by pad bucket, <= refine_group_cap per group. Shared by the
         Python pipelined and the native (C++) search so their group seeds
-        (master.getrandbits(64) in group order) partition identically."""
+        (``_group_seed``) partition identically."""
         by_bucket: Dict[int, List[int]] = {}
         for idx, jt in enumerate(blur_sets):
             by_bucket.setdefault(
@@ -630,9 +675,13 @@ class _NativeRefineLoop:
     chunks' device programs, hiding the fine stage's tunnel latency under
     coarse compute (stage-1/2 overlap).
 
-    Group seeds come from the sampler rng (``getrandbits(64)``) at
-    ``add_group`` time, so a fixed (molecule set, grouping, seed) is
-    deterministic; different groupings re-partition the rng stream
+    Group seeds come from ``_group_seed`` (one master draw mixed with the
+    group's first molecule index) — a pure function of the group's identity,
+    NOT of ``add_group`` order, so the streamed driver's arrival-order group
+    creation draws the same per-group streams as the serial driver's
+    bucket-order creation whenever the group PARTITION matches (pinned:
+    tests/test_runtime.py test_sample_streamed_matches_sample). Different
+    groupings (another cap) re-partition the rng stream
     (distribution-equivalent, same argument as coarse bucket chunking)."""
 
     def __init__(self, sampler: "LatticeSampler", blur_sets, results):
@@ -644,6 +693,7 @@ class _NativeRefineLoop:
         self.results = results
         self.hook = sampler.refine_hook
         self.master = sampler.rng if sampler.rng is not None else _random.Random(2022)
+        self.seed_base = self.master.getrandbits(64)
         self.verdict = getattr(sampler.can_assemble, "verdict", None)
         self.hook_verdict = (getattr(self.hook.can_assemble, "verdict", None)
                              if self.hook.can_assemble is not None else None)
@@ -659,7 +709,7 @@ class _NativeRefineLoop:
         from hierdiff_tpu import runtime
 
         hook = self.hook
-        grng = _random.Random(self.master.getrandbits(64))
+        grng = _random.Random(_group_seed(self.seed_base, members))
         sizes = [self.blur_sets[i]["h"].shape[0] for i in members]
         f = self.blur_sets[members[0]]["h"].shape[1]
         feats = np.zeros((len(members), gbucket, f), np.float32)
@@ -720,6 +770,8 @@ class _NativeRefineLoop:
         hook.stats["score_s"] += t1 - t0
         g["S"] = g["ns"].step(packed, g["K"])
         hook.stats["walk_s"] += _time.perf_counter() - t1
+        hook.stats["rounds"] += 1
+        hook.stats["fleet_rows"] += int(g["S"])
         if g["S"] == 0:
             self._finish(g)
             return

@@ -62,7 +62,12 @@ class RefineHook:
         # host-side pack-and-enqueue cost.
         self.stats = {"pack_s": 0.0, "pack_calls": 0, "score_s": 0.0,
                       "score_calls": 0, "score_rows": 0, "host_s": 0.0,
-                      "dispatch_s": 0.0, "collect_s": 0.0, "walk_s": 0.0}
+                      "dispatch_s": 0.0, "collect_s": 0.0, "walk_s": 0.0,
+                      # group-search round shape (native loop): rounds =
+                      # step_one calls, fleet_rows = active states walked —
+                      # fleet_rows/rounds is the mean fleet size, the lever
+                      # the gated/backtracking profile turns on
+                      "rounds": 0, "fleet_rows": 0}
 
     def _fn(self, n: int):
         if n not in self._fn_cache:

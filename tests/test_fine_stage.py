@@ -631,7 +631,8 @@ def test_refine_pipelined_matches_sequential_groups(gen, monkeypatch):
     # sequential reference: same grouping + same per-group seeds, each
     # group's search run to completion before the next starts
     lattices = LatticeSampler(dmodel, dparams, beam_size=2).compute_lattices(blur)
-    master = _random.Random(7)
+    from hierdiff_tpu.sampling.lattice import _group_seed
+    seed_base = _random.Random(7).getrandbits(64)
     by_bucket = {}
     for idx, jt in enumerate(blur):
         by_bucket.setdefault(
@@ -643,7 +644,8 @@ def test_refine_pipelined_matches_sequential_groups(gen, monkeypatch):
             members = idxs[c0: c0 + cap]
             search = PQBeamSearch(LatticeExpander(lattices), beam_size=2,
                                   refine_hook=hook2,
-                                  rng=_random.Random(master.getrandbits(64)))
+                                  rng=_random.Random(_group_seed(seed_base,
+                                                                 members)))
             res = search.run(LatticeSampler._init_states(blur, members))
             for i, r in zip(members, res):
                 want[i] = r

@@ -473,27 +473,37 @@ class _ListFeeder:
 
 
 @pytest.mark.skipif(not runtime.treekit_available(), reason="no native lib")
-@pytest.mark.parametrize("reject", [0.0, 0.25])
-def test_sample_streamed_matches_sample(monkeypatch, reject):
-    """The stage-1/2 overlapped driver (sample_streamed) is BIT-EXACT vs
-    sample() when the feeder's chunks reproduce sample()'s bucket grouping:
-    same groups in the same order -> same rng partition -> identical trees
-    (wids incl. refine swaps, adjacency, logp to the bit). Different chunk
-    arrivals only re-partition the group rng (distribution-equivalent)."""
+@pytest.mark.parametrize("reject,straddle", [(0.0, False), (0.0, True),
+                                             (0.25, False)])
+def test_sample_streamed_matches_sample(monkeypatch, reject, straddle):
+    """The stage-1/2 overlapped driver (sample_streamed) vs sample():
+    per-bucket pooling reproduces sample()'s group PARTITION for any feeder
+    chunking that delivers molecules in index order (the real coarse chunk
+    plan does), and _group_seed makes each group's rng a pure function of
+    the group identity rather than creation order. With bucket-aligned
+    feeder chunks the lattice programs also run at identical batch shapes,
+    so trees are BIT-exact (wids incl. refine swaps, adjacency, logp).
+    Bucket-STRADDLING chunks change a lattice program's batch shape (a
+    molecule can run at batch 1 instead of 4), which moves top_logp by
+    ~2e-6 (measured f32 batch-shape rounding) — decisions still coincide
+    for this pinned seed/data; logp is equal only to that rounding."""
     blur, make = _refine_setup()
     gate = _verdict_gate(reject) if reject else None
     hook_gate = _verdict_gate(reject / 2) if reject else None
     monkeypatch.setenv("HIERDIFF_REFINE_NATIVE", "1")
 
     want = make(gate, hook_gate).sample(blur)
-    # one feeder chunk per size bucket, in bucket order = sample()'s grouping
     sampler = make(gate, hook_gate)
-    from hierdiff_tpu.data.collate import bucket_for
-    by_bucket = {}
-    for i, jt in enumerate(blur):
-        by_bucket.setdefault(bucket_for(jt["h"].shape[0], sampler.buckets),
-                             []).append(i)
-    chunks = [idxs for _nb, idxs in sorted(by_bucket.items())]
+    n = len(blur)
+    if straddle:
+        chunks = [list(range(0, 2)), list(range(2, 5)), list(range(5, n))]
+    else:
+        from hierdiff_tpu.data.collate import bucket_for
+        by_bucket = {}
+        for i, jt in enumerate(blur):
+            by_bucket.setdefault(
+                bucket_for(jt["h"].shape[0], sampler.buckets), []).append(i)
+        chunks = [idxs for _nb, idxs in sorted(by_bucket.items())]
     got = sampler.sample_streamed(_ListFeeder(blur, chunks))
 
     assert any(r is not None for r in want)
@@ -503,7 +513,10 @@ def test_sample_streamed_matches_sample(monkeypatch, reject):
             continue
         np.testing.assert_array_equal(a.wids, b.wids)
         np.testing.assert_array_equal(a.adj, b.adj)
-        assert a.logp == b.logp
+        if straddle:
+            assert a.logp == pytest.approx(b.logp, abs=1e-4)
+        else:
+            assert a.logp == b.logp
 
 
 def test_sample_streamed_python_fallback(monkeypatch):
