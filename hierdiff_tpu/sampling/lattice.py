@@ -682,7 +682,27 @@ class _NativeRefineLoop:
     bucket-order creation whenever the group PARTITION matches (pinned:
     tests/test_runtime.py test_sample_streamed_matches_sample). Different
     groupings (another cap) re-partition the rng stream
-    (distribution-equivalent, same argument as coarse bucket chunking)."""
+    (distribution-equivalent, same argument as coarse bucket chunking).
+
+    LANE MERGING (round-5, the gated/backtracking lever): under the
+    assembly gate the searches backtrack, so fleets shrink to a few active
+    rows while round counts balloon — the round-5 profile measured a MEAN
+    fleet of ~2 rows over 565 rounds at 64 molecules / 20% rejection, i.e.
+    the fine stage's wall is per-dispatch host overhead, not device work.
+    The loop therefore merges SAME-BUCKET groups' fleets into one
+    ``dispatch_arrays`` call, bounded by ``fleet_chunk_rows`` so a lane is
+    still (at most) ONE device program — device-side structure is unchanged
+    vs solo dispatches (this is what made the round-4 Python-path lane
+    merge neutral-at-best: its lanes spanned multiple device chunks and
+    collapsed the in-flight depth; the row bound avoids that by
+    construction). Small fleets are HELD in a per-bucket ready list while
+    other lanes are in flight (they merge with whatever lands next) and
+    flushed unconditionally when nothing is in flight, so progress is
+    guaranteed. Per-group step inputs are unchanged — the fused check is
+    row-independent and pad-invariant (pinned:
+    test_refine_merge_matches_unmerged) — so lane composition does not
+    change results: the native-vs-Python and streamed-vs-serial bit-parity
+    pins still hold."""
 
     def __init__(self, sampler: "LatticeSampler", blur_sets, results):
         import random as _random
@@ -697,11 +717,15 @@ class _NativeRefineLoop:
         self.verdict = getattr(sampler.can_assemble, "verdict", None)
         self.hook_verdict = (getattr(self.hook.can_assemble, "verdict", None)
                              if self.hook.can_assemble is not None else None)
+        # queue: in-flight lanes ([(group, rows_at_dispatch), ...], pending);
+        # ready: per-bucket groups awaiting a (possibly merged) dispatch
         self.queue = deque()
+        self.ready: Dict[int, List[dict]] = {}
+        self.merge = os.environ.get("HIERDIFF_REFINE_LANE_MERGE", "1") != "0"
 
     @property
     def empty(self) -> bool:
-        return not self.queue
+        return not self.queue and not any(self.ready.values())
 
     def add_group(self, members, gbucket: int, lattices) -> None:
         import random as _random
@@ -732,7 +756,8 @@ class _NativeRefineLoop:
         if g["S"] == 0:
             self._finish(g)
             return
-        self.queue.append((g, self._dispatch(g)))
+        self._enqueue(g)
+        self._flush()
 
     def _finish(self, g) -> None:
         wids_list, ok, logp = g["ns"].finish()
@@ -742,25 +767,64 @@ class _NativeRefineLoop:
                     self.blur_sets, g["lattices"], i, wids_list[r],
                     float(logp[r]))
 
-    def _dispatch(self, g):
-        """Pad + dispatch the group's active fleet through the hook's shared
-        chunk/pad policy (RefineHook.dispatch_arrays — ONE code path with
-        dispatch_batch, so the _fused_fn padding contract cannot skew)."""
-        ns, nb, s_rows = g["ns"], g["bucket"], g["S"]
+    def _enqueue(self, g) -> None:
+        self.ready.setdefault(g["bucket"], []).append(g)
+
+    def _flush(self) -> None:
+        """Form lanes from the ready groups and dispatch them. A lane packs
+        same-bucket fleets up to ``fleet_chunk_rows`` (one device program).
+        While other lanes are in flight, only lanes reaching half the row
+        bound dispatch — smaller fleets wait for merge partners; with
+        nothing in flight everything dispatches (progress guarantee)."""
+        for nb, gs in self.ready.items():
+            if not gs:
+                continue
+            cap = self.hook.fleet_chunk_rows(nb) if self.merge else 0
+            while gs:
+                rows = sum(g["S"] for g in gs)
+                if self.queue and self.merge and rows < max(1, cap // 2):
+                    break   # hold: merge partners will land next ticks
+                lane, lrows = [], 0
+                while gs and (not lane or lrows + gs[0]["S"] <= cap):
+                    g = gs.pop(0)
+                    lane.append(g)
+                    lrows += g["S"]
+                self.queue.append((
+                    [(g, g["S"]) for g in lane],
+                    self._dispatch_lane(lane, nb)))
+                self.hook.stats["lanes"] = self.hook.stats.get("lanes", 0) + 1
+
+    def _fleet_arrays(self, g):
+        ns, s_rows = g["ns"], g["S"]
         mol = ns.fleet_mol[:s_rows]
-        return self.hook.dispatch_arrays(
-            nb, g["feats"][mol], g["pos"][mol],
-            np.ascontiguousarray(ns.fleet_adj[:s_rows]),
-            g["nmask"][mol],
-            np.ascontiguousarray(ns.fleet_wids[:s_rows]))
+        return (g["feats"][mol], g["pos"][mol],
+                np.ascontiguousarray(ns.fleet_adj[:s_rows]),
+                g["nmask"][mol],
+                np.ascontiguousarray(ns.fleet_wids[:s_rows]))
+
+    def _dispatch_lane(self, lane, nb: int):
+        """Pad + dispatch the lane's concatenated fleets through the hook's
+        shared chunk/pad policy (RefineHook.dispatch_arrays — ONE code path
+        with dispatch_batch, so the _fused_fn padding contract cannot
+        skew)."""
+        parts = [self._fleet_arrays(g) for g in lane]
+        if len(parts) == 1:
+            feats, pos, adj, nmask, wids = parts[0]
+        else:
+            feats, pos, adj, nmask, wids = (
+                np.concatenate([p[i] for p in parts]) for i in range(5))
+        return self.hook.dispatch_arrays(nb, feats, pos, adj, nmask, wids)
 
     def step_one(self) -> None:
-        """Advance the OLDEST in-flight group one round (blocking on its
-        fused-check readback; all other groups' dispatches stay in flight)."""
+        """Advance the OLDEST in-flight lane one round (blocking on its
+        fused-check readback; all other lanes' dispatches stay in flight),
+        stepping every member group and re-queueing the survivors."""
         import time as _time
 
         hook = self.hook
-        g, pending = self.queue.popleft()
+        if not self.queue:
+            self._flush()
+        lane, pending = self.queue.popleft()
         t0 = _time.perf_counter()
         packed = np.concatenate(
             [np.asarray(dev)[:cnt] for cnt, dev in pending]
@@ -768,15 +832,20 @@ class _NativeRefineLoop:
         t1 = _time.perf_counter()
         hook.stats["collect_s"] += t1 - t0
         hook.stats["score_s"] += t1 - t0
-        g["S"] = g["ns"].step(packed, g["K"])
+        off = 0
+        for g, cnt in lane:
+            rows = packed[off: off + cnt] if packed is not None else None
+            off += cnt
+            g["S"] = g["ns"].step(rows, g["K"])
+            hook.stats["rounds"] += 1
+            hook.stats["fleet_rows"] += int(g["S"])
+            if g["S"] == 0:
+                self._finish(g)
+            else:
+                self._enqueue(g)
         hook.stats["walk_s"] += _time.perf_counter() - t1
-        hook.stats["rounds"] += 1
-        hook.stats["fleet_rows"] += int(g["S"])
-        if g["S"] == 0:
-            self._finish(g)
-            return
-        self.queue.append((g, self._dispatch(g)))
+        self._flush()
 
     def drain(self) -> None:
-        while self.queue:
+        while not self.empty:
             self.step_one()

@@ -64,10 +64,11 @@ class RefineHook:
                       "score_calls": 0, "score_rows": 0, "host_s": 0.0,
                       "dispatch_s": 0.0, "collect_s": 0.0, "walk_s": 0.0,
                       # group-search round shape (native loop): rounds =
-                      # step_one calls, fleet_rows = active states walked —
-                      # fleet_rows/rounds is the mean fleet size, the lever
-                      # the gated/backtracking profile turns on
-                      "rounds": 0, "fleet_rows": 0}
+                      # per-group step calls, fleet_rows = active states
+                      # walked (fleet_rows/rounds = mean fleet size), lanes =
+                      # merged dispatches (rounds/lanes = groups per lane —
+                      # the gated/backtracking lever, see _NativeRefineLoop)
+                      "rounds": 0, "fleet_rows": 0, "lanes": 0}
 
     def _fn(self, n: int):
         if n not in self._fn_cache:
@@ -451,16 +452,30 @@ class RefineHook:
         ONE source of the chunking policy — shared by ``dispatch_batch``
         (Python TreeState fleets) and ``dispatch_arrays`` (the native
         search's packed fleets) so the pad/chunk contract with ``_fused_fn``
-        cannot skew between the two drivers."""
+        cannot skew between the two drivers. Capped at 64 rows so
+        ``fleet_pad_rows`` stays bounded at small buckets."""
         K = max(1, int(nb * self.check_frac))
-        return max(1, 8192 // (nb * (1 + K)))
+        return max(1, min(8192 // (nb * (1 + K)), 64))
+
+    def fleet_pad_rows(self, nb: int) -> int:
+        """The ONE padded fleet shape per bucket: every fused-check dispatch
+        pads its rows to this constant, so all drivers (``dispatch_batch``
+        fleets, ``dispatch_arrays`` native/merged lanes, any chunk tail) run
+        rows through the SAME compiled program. Rows are independent trees —
+        no cross-row ops — so with one program per bucket the per-row
+        results are invariant to fleet composition TO THE BIT; variable
+        pow2-of-rows padding instead compiles a different program per fleet
+        size, whose fusion/reassociation moves f32 totals by ~2e-6 and
+        breaks the native/streamed/merged bit-parity pins (measured,
+        round-5). Also: one compile per bucket instead of one per (bucket,
+        pow2 size)."""
+        from hierdiff_tpu.sampling.lattice import _next_pow2
+        return _next_pow2(self.fleet_chunk_rows(nb))
 
     def dispatch_batch(self, states: List[TreeState]):
         """Async half of ``check_batch``: pack and dispatch EVERY fleet
         chunk without blocking (JAX dispatch is async; the packed readback
         is also enqueued). Returns a token for ``collect_batch``."""
-        from hierdiff_tpu.sampling.lattice import _next_pow2
-
         act = [si for si, s in enumerate(states)
                if np.sum(s.wids >= 0) * self.check_frac > 1]
         if not act:
@@ -468,10 +483,10 @@ class RefineHook:
         nb = bucket_for(max(states[si].n for si in act), self.buckets)
         K = max(1, int(nb * self.check_frac))
         max_states = self.fleet_chunk_rows(nb)
+        sp = self.fleet_pad_rows(nb)   # ONE shape per bucket (see docstring)
         pending = []
         for c0 in range(0, len(act), max_states):
             chunk = act[c0: c0 + max_states]
-            sp = _next_pow2(len(chunk))
             base = self._pack_states([states[si] for si in chunk], nb, sp)
             dev = self._dispatch_fused(
                 base, [states[si].wids for si in chunk], nb, sp)
@@ -489,15 +504,13 @@ class RefineHook:
         collect each with np.asarray(dev)[:cnt]."""
         import time as _time
 
-        from hierdiff_tpu.sampling.lattice import _next_pow2
-
         rows = len(feats)
         max_states = self.fleet_chunk_rows(nb)
+        sp = self.fleet_pad_rows(nb)   # ONE shape per bucket (see docstring)
         pending = []
         for c0 in range(0, rows, max_states):
             c1 = min(rows, c0 + max_states)
             cnt = c1 - c0
-            sp = _next_pow2(cnt)
             t0 = _time.perf_counter()
             fe = np.zeros((sp,) + feats.shape[1:], np.float32)
             po = np.zeros((sp,) + pos.shape[1:], np.float32)
