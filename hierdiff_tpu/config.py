@@ -47,6 +47,7 @@ class CoarseModelConfig:
     mode: str = "egnn_dynamics"          # 'egnn_dynamics' | 'gnn_dynamics'
     sin_embedding: bool = False          # sinusoidal distance embedding
     remat: bool = False
+    remat_edges: bool = False            # jax.checkpoint around the (B,N,N,H) edge chain only
     use_pallas: bool = False             # fused EGNN inference kernels (ops/egnn_pallas.py)
     pallas_vjp: bool = False             # fused custom-VJP training path (VMEM-remat backward)
     compute_dtype: Optional[str] = None  # 'bfloat16' = bf16 matmul operands, f32 accum

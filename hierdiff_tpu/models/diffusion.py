@@ -76,6 +76,7 @@ class CoarseDiffusion(nn.Module):
     condition_time: bool = True
     context_node_nf: int = 0
     remat: bool = False
+    remat_edges: bool = False   # see ops.egnn.DenseGCL.remat_edges
     use_pallas: bool = False
     # fused custom-VJP training path (ops/egnn_pallas.gcl_vjp): backward
     # rematerializes the edge pipeline in VMEM instead of saving/re-reading
@@ -123,6 +124,7 @@ class CoarseDiffusion(nn.Module):
             aggregation_method=self.aggregation_method,
             condition_time=self.condition_time,
             remat=self.remat,
+            remat_edges=self.remat_edges,
             use_pallas=self.use_pallas,
             pallas_vjp=self.pallas_vjp,
             compute_dtype=self.compute_dtype,

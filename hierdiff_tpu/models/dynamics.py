@@ -43,6 +43,7 @@ class EGNNDynamics(nn.Module):
     aggregation_method: str = "sum"
     condition_time: bool = True
     remat: bool = False
+    remat_edges: bool = False   # see ops.egnn.DenseGCL.remat_edges
     use_pallas: bool = False
     pallas_vjp: bool = False
     compute_dtype: Optional[str] = None
@@ -150,6 +151,7 @@ class EGNNDynamics(nn.Module):
             normalization_factor=self.normalization_factor,
             aggregation_method=self.aggregation_method,
             remat=self.remat,
+            remat_edges=self.remat_edges,
             use_pallas=self.use_pallas,
             pallas_vjp=self.pallas_vjp,
             compute_dtype=self.compute_dtype,

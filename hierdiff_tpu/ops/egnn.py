@@ -157,6 +157,15 @@ class DenseGCL(nn.Module):
     # pipeline in VMEM (egnn_pallas.gcl_vjp) — the bwd-dot/spill fix named
     # by the round-4 training roofline (BASELINE.md)
     pallas_vjp: bool = False
+    # XLA-level edge rematerialization (VERDICT r4 #7): jax.checkpoint
+    # around ONLY the (B,N,N,H) edge-message chain, so AD saves the small
+    # (B,N,·) inputs instead of ~3 (B,N,N,H) silu/gate pre-activations per
+    # GCL (~600 MB each at bucket 48 / batch 256 f32) — the spill traffic
+    # the round-4 roofline measured interleaved with the wgrad dots. Bwd
+    # recomputes the edge MLP (+~1/3 of fwd FLOPs) from h/params instead of
+    # reading the saved chain from HBM. Unlike block-level `remat`, the
+    # node MLP / coordinate residuals are still saved.
+    remat_edges: bool = False
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16'; None = f32 matmuls
 
     def _params(self, h_dim: int, e_dim: int):
@@ -200,27 +209,38 @@ class DenseGCL(nn.Module):
                              self.normalization_factor, self.attention,
                              compute_dtype=self.compute_dtype)
 
-        ei, dt = p["edge_in"], self.compute_dtype
+        dt = self.compute_dtype
         # with compute_dtype set, the whole (B,N,N,H) edge pipeline runs in
         # that dtype (double VPU width for the adds/silu/gate chain — the
         # profiled hot path); accumulations back to f32 at the rowsum
         act = jnp.dtype(dt) if dt is not None else None
         cast = (lambda v: v.astype(act)) if act is not None else (lambda v: v)
-        mij = (_mm(h, ei["w_src"], dt, act)[:, :, None, :]
-               + _mm(h, ei["w_dst"], dt, act)[:, None, :, :]
-               + cast(_edge_proj(edge_attr, ei["w_e"], dt)) + cast(ei["bias"]))
-        mij = nn.silu(mij)
-        mij = nn.silu(_mm(mij, p["edge_out"]["kernel"], dt, act) + cast(p["edge_out"]["bias"]))
+        attention = self.attention
 
-        if self.attention:
-            att = nn.sigmoid(_mm(mij, p["att"]["kernel"], dt, act) + cast(p["att"]["bias"]))
-            mij = mij * att
+        def edge_agg(h_, pe, edge_attr_, edge_mask_):
+            ei = pe["edge_in"]
+            mij = (_mm(h_, ei["w_src"], dt, act)[:, :, None, :]
+                   + _mm(h_, ei["w_dst"], dt, act)[:, None, :, :]
+                   + cast(_edge_proj(edge_attr_, ei["w_e"], dt)) + cast(ei["bias"]))
+            mij = nn.silu(mij)
+            mij = nn.silu(_mm(mij, pe["edge_out"]["kernel"], dt, act)
+                          + cast(pe["edge_out"]["bias"]))
+            if attention:
+                att = nn.sigmoid(_mm(mij, pe["att"]["kernel"], dt, act)
+                                 + cast(pe["att"]["bias"]))
+                mij = mij * att
+            # masked neighbor-sum as a dot_general contraction over j with
+            # the mask as the vector operand: the profiled sampler spent 92%
+            # of its device time in VPU multiply_reduce fusions doing this
+            # same sum — the MXU contraction replaces both the mask-multiply
+            # and the reduce
+            return _masked_rowsum(mij, edge_mask_)
 
-        # masked neighbor-sum as a dot_general contraction over j with the
-        # mask as the vector operand: the profiled sampler spent 92% of its
-        # device time in VPU multiply_reduce fusions doing this same sum —
-        # the MXU contraction replaces both the mask-multiply and the reduce
-        agg = _masked_rowsum(mij, edge_mask)
+        if self.remat_edges and not self.is_initializing():
+            edge_agg = jax.checkpoint(edge_agg)
+        pe = {k: p[k] for k in (("edge_in", "edge_out", "att") if attention
+                                else ("edge_in", "edge_out"))}
+        agg = edge_agg(h, pe, edge_attr, edge_mask)
         if self.aggregation_method == "sum":
             agg = agg / self.normalization_factor
         elif self.aggregation_method == "mean":
@@ -249,6 +269,7 @@ class DenseEquivariantUpdate(nn.Module):
     tanh: bool = False
     coords_range: float = 10.0
     use_pallas: bool = False
+    remat_edges: bool = False   # see DenseGCL.remat_edges
     compute_dtype: Optional[str] = None
 
     def _params(self, h_dim: int, e_dim: int):
@@ -279,23 +300,32 @@ class DenseEquivariantUpdate(nn.Module):
                                       node_mask, p, self.normalization_factor,
                                       self.tanh, self.coords_range,
                                       compute_dtype=self.compute_dtype)
-        ci, dt = p["coord_in"], self.compute_dtype
+        dt = self.compute_dtype
         act = jnp.dtype(dt) if dt is not None else None
         cast = (lambda v: v.astype(act)) if act is not None else (lambda v: v)
-        inp = (_mm(h, ci["w_src"], dt, act)[:, :, None, :]
-               + _mm(h, ci["w_dst"], dt, act)[:, None, :, :]
-               + cast(_edge_proj(edge_attr, ci["w_e"], dt)) + cast(ci["bias"]))
-        inp = nn.silu(inp)
-        inp = nn.silu(_mm(inp, p["coord_mid"]["kernel"], dt, act) + cast(p["coord_mid"]["bias"]))
-        # the scalar head returns to f32: it multiplies coordinate
-        # differences, and equivariant position updates are the
-        # precision-critical path
-        scalar = _mm(inp, p["coord_head"]["kernel"], dt) if dt is not None \
-            else inp @ p["coord_head"]["kernel"]
-        if self.tanh:
-            scalar = jnp.tanh(scalar) * self.coords_range
-        # masked neighbor-sum on the MXU (see _masked_rowsum)
-        agg = _masked_rowsum(coord_diff * scalar, edge_mask)
+        use_tanh, coords_range = self.tanh, self.coords_range
+
+        def coord_agg(h_, p_, coord_diff_, edge_attr_, edge_mask_):
+            ci = p_["coord_in"]
+            inp = (_mm(h_, ci["w_src"], dt, act)[:, :, None, :]
+                   + _mm(h_, ci["w_dst"], dt, act)[:, None, :, :]
+                   + cast(_edge_proj(edge_attr_, ci["w_e"], dt)) + cast(ci["bias"]))
+            inp = nn.silu(inp)
+            inp = nn.silu(_mm(inp, p_["coord_mid"]["kernel"], dt, act)
+                          + cast(p_["coord_mid"]["bias"]))
+            # the scalar head returns to f32: it multiplies coordinate
+            # differences, and equivariant position updates are the
+            # precision-critical path
+            scalar = _mm(inp, p_["coord_head"]["kernel"], dt) if dt is not None \
+                else inp @ p_["coord_head"]["kernel"]
+            if use_tanh:
+                scalar = jnp.tanh(scalar) * coords_range
+            # masked neighbor-sum on the MXU (see _masked_rowsum)
+            return _masked_rowsum(coord_diff_ * scalar, edge_mask_)
+
+        if self.remat_edges and not self.is_initializing():
+            coord_agg = jax.checkpoint(coord_agg)
+        agg = coord_agg(h, p, coord_diff, edge_attr, edge_mask)
         if self.aggregation_method == "sum":
             agg = agg / self.normalization_factor
         elif self.aggregation_method == "mean":
@@ -322,6 +352,7 @@ class DenseEquivariantBlock(nn.Module):
     aggregation_method: str = "sum"
     use_pallas: bool = False
     pallas_vjp: bool = False
+    remat_edges: bool = False   # see DenseGCL.remat_edges
     compute_dtype: Optional[str] = None
     sin_embedding: bool = False
 
@@ -341,6 +372,7 @@ class DenseEquivariantBlock(nn.Module):
                 attention=self.attention,
                 use_pallas=self.use_pallas,
                 pallas_vjp=self.pallas_vjp,
+                remat_edges=self.remat_edges,
                 compute_dtype=self.compute_dtype,
                 name=f"gcl_{i}",
             )(h, edge_attr, node_mask, edge_mask)
@@ -351,6 +383,7 @@ class DenseEquivariantBlock(nn.Module):
             tanh=self.tanh,
             coords_range=self.coords_range,
             use_pallas=self.use_pallas,
+            remat_edges=self.remat_edges,
             compute_dtype=self.compute_dtype,
             name="gcl_equiv",
         )(h, x, coord_diff, edge_attr, node_mask, edge_mask)
@@ -376,6 +409,7 @@ class DenseEGNN(nn.Module):
     normalization_factor: float = 100.0
     aggregation_method: str = "sum"
     remat: bool = False
+    remat_edges: bool = False   # see DenseGCL.remat_edges
     use_pallas: bool = False
     pallas_vjp: bool = False
     compute_dtype: Optional[str] = None
@@ -406,6 +440,7 @@ class DenseEGNN(nn.Module):
                 aggregation_method=self.aggregation_method,
                 use_pallas=self.use_pallas,
                 pallas_vjp=self.pallas_vjp,
+                remat_edges=self.remat_edges,
                 compute_dtype=self.compute_dtype,
                 sin_embedding=self.sin_embedding,
                 name=f"e_block_{i}",

@@ -41,7 +41,8 @@ def build_coarse(cfg):
         attention=m.attention, tanh=m.tanh, coords_range=m.coords_range,
         norm_constant=m.norm_constant, normalization_factor=m.normalization_factor,
         aggregation_method=m.aggregation_method, condition_time=m.condition_time,
-        context_node_nf=m.context_node_nf, remat=m.remat, use_pallas=m.use_pallas,
+        context_node_nf=m.context_node_nf, remat=m.remat,
+        remat_edges=m.remat_edges, use_pallas=m.use_pallas,
         pallas_vjp=m.pallas_vjp,
         compute_dtype=m.compute_dtype, pocket=m.pocket,
         pocket_cross_edges=m.pocket_cross_edges,

@@ -22,7 +22,7 @@ import numpy as np
 
 
 def measure(bucket: int, batch: int, remat: bool, prefetch: bool, steps: int,
-            compute_dtype=None, pallas_vjp=False):
+            compute_dtype=None, pallas_vjp=False, remat_edges=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -40,7 +40,7 @@ def measure(bucket: int, batch: int, remat: bool, prefetch: bool, steps: int,
                             n_layers=6, inv_sublayers=2,
                             noise_schedule="learned", remat=remat,
                             compute_dtype=compute_dtype,
-                            pallas_vjp=pallas_vjp)
+                            pallas_vjp=pallas_vjp, remat_edges=remat_edges)
     gen = SyntheticTreeGenerator(seed=0)
     # synthetic trees near the bucket size so padding is realistic
     pool = gen.sample_trees(512, n=max(4, bucket - 4))
@@ -84,7 +84,8 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--buckets", type=int, nargs="*", default=[48, 96])
-    p.add_argument("--sweep", choices=["levers", "dtype", "batch", "vjp"],
+    p.add_argument("--sweep",
+                   choices=["levers", "dtype", "batch", "vjp", "rematedges"],
                    default="levers",
                    help="levers: remat x prefetch (round-2 sweep); dtype: "
                         "f32 vs bf16 training step at prefetch-on (VERDICT "
@@ -92,7 +93,10 @@ def main():
                         "batch: batch-size amortization at bf16+prefetch "
                         "(training-side analogue of scripts/batch_sweep.py); "
                         "vjp: XLA AD vs the fused custom-VJP GCL backward "
-                        "(ops/egnn_pallas.gcl_vjp) at bf16+prefetch")
+                        "(ops/egnn_pallas.gcl_vjp) at bf16+prefetch; "
+                        "rematedges: edge-chain-only jax.checkpoint off/on "
+                        "per batch size (VERDICT r4 #7 — drop only the "
+                        "(B,N,N,H) residuals the wgrad spills come from)")
     p.add_argument("--batches", type=int, nargs="*", default=[64, 128, 256],
                    help="batch sizes for --sweep batch")
     p.add_argument("--remat", action="store_true",
@@ -109,18 +113,23 @@ def main():
     elif args.sweep == "batch":
         grid = [(b, bs, args.remat, True, "bfloat16", False) for b, bs in
                 itertools.product(args.buckets, args.batches)]
+    elif args.sweep == "rematedges":
+        grid = [(b, bs, False, True, "bfloat16", False, re) for b, bs, re in
+                itertools.product(args.buckets, args.batches, [False, True])]
     else:
         grid = [(b, args.batch, False, True, "bfloat16", vjp) for b, vjp in
                 itertools.product(args.buckets, [False, True])]
     for cfg_row in grid:
         bucket, batch, remat, prefetch, dtype = cfg_row[:5]
         vjp = cfg_row[5] if len(cfg_row) > 5 else False
+        redges = cfg_row[6] if len(cfg_row) > 6 else False
         sps, mfu = measure(bucket, batch, remat, prefetch, args.steps,
-                           compute_dtype=dtype, pallas_vjp=vjp)
+                           compute_dtype=dtype, pallas_vjp=vjp,
+                           remat_edges=redges)
         print(json.dumps({"bucket": bucket, "batch": batch,
                           "remat": remat, "prefetch": prefetch,
                           "compute_dtype": dtype or "float32",
-                          "pallas_vjp": vjp,
+                          "pallas_vjp": vjp, "remat_edges": redges,
                           "steps_per_sec": round(sps, 3),
                           "train_mfu": round(mfu, 4)}), flush=True)
 

@@ -146,3 +146,35 @@ def test_egnn_bf16_compute_matches_f32():
     scale_x = float(jnp.max(jnp.abs(x32))) + 1e-6
     assert float(jnp.max(jnp.abs(h16 - h32))) / scale_h < 0.05
     assert float(jnp.max(jnp.abs(x16 - x32))) / scale_x < 0.05
+
+
+def test_egnn_remat_edges_matches_plain():
+    """remat_edges (jax.checkpoint around only the (B,N,N,H) edge chain —
+    VERDICT r4 #7) is numerically transparent: forward outputs are
+    BIT-identical (the checkpointed fn computes the same primal), and
+    gradients agree to recompute-fusion reassociation noise."""
+    m0 = small_egnn()
+    m1 = DenseEGNN(hidden_nf=32, out_node_nf=5, n_layers=2, inv_sublayers=2,
+                   attention=True, tanh=True, coords_range=30.0,
+                   norm_constant=0.0, normalization_factor=10.0,
+                   remat_edges=True)
+    h, x, nm, em = batch(jax.random.PRNGKey(5))
+    params = m0.init(jax.random.PRNGKey(0), h, x, nm, em)
+
+    h0, x0 = m0.apply(params, h, x, nm, em)
+    h1, x1 = m1.apply(params, h, x, nm, em)   # identical param tree
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+    np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))
+
+    def loss(m):
+        def f(p):
+            ho, xo = m.apply(p, h, x, nm, em)
+            return jnp.sum(ho**2) + jnp.sum(xo**2)
+        return f
+
+    g0 = jax.jit(jax.grad(loss(m0)))(params)
+    g1 = jax.jit(jax.grad(loss(m1)))(params)
+    rel = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b)))
+        / (float(jnp.max(jnp.abs(a))) + 1e-6), g0, g1)
+    assert max(jax.tree_util.tree_leaves(rel)) < 1e-5
