@@ -207,7 +207,7 @@ def _synthetic_gate(reject_frac: float):
 def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
                    steps: int = 0, bf16: bool = True, refine: bool = False,
                    gate_reject: float = 0.0, fine_buckets: bool = False,
-                   reps: int = 3):
+                   reps: int = 3, size_variant: bool = False):
     import jax
     import random
     import jax.numpy as jnp
@@ -217,8 +217,25 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
     from hierdiff_tpu.data.synthetic import SyntheticTreeGenerator
     from hierdiff_tpu.sampling.pipeline import GenerationPipeline
 
+    # --size-variant: the reference's ar_sampling.py:62-134 configuration —
+    # fragment-type choices feed back into the trajectory
+    # (vocab_conditioning), and each node's vocab support is restricted to
+    # fragments matching its rounded heavy-atom-count feature
+    # (size_support_indices, ar_sampling_nosize.py:115-122). This forces the
+    # round-based ARSampler (one jitted ar_step per search round) instead of
+    # the one-scan lattice shortcut — the cost of type feedback is the metric.
     coarse, cparams, denoise = make_models(
-        coarse_kw={"compute_dtype": "bfloat16" if bf16 else None})
+        coarse_kw={"compute_dtype": "bfloat16" if bf16 else None},
+        denoise_kw={"vocab_conditioning": True} if size_variant else None)
+    allowed_fn = None
+    if size_variant:
+        from hierdiff_tpu.data.refine import size_support_indices
+
+        v = denoise.out_node_nf
+        # blur h layout [hbd, fp0..fp4, tpsa, asa]; fp col 3 = heavy atoms
+        allowed_fn = lambda feats: [
+            np.asarray(size_support_indices(int(round(float(f[4]))), v),
+                       np.int64) for f in feats]
     gen = SyntheticTreeGenerator(seed=0)
     dummy = {k: jnp.asarray(v) for k, v in
              make_denoise_batch(gen.sample_trees(2, n=8), random.Random(0), max_n=8).items()}
@@ -258,6 +275,7 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
     pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
                               histogram=load_geom_histogram(), beam_size=beam,
                               refine_hook=refine_hook, can_assemble=gate,
+                              allowed_fn=allowed_fn,
                               sample_steps=steps or None,
                               sample_buckets=sample_buckets,
                               refine_group_cap=int(rgc) if rgc else None,
@@ -301,7 +319,8 @@ def bench_pipeline(n_molecules: int, beam: int, batch_size: int = 64,
     n_steps = steps or coarse.timesteps
     tags = ("+refine" if refine else "") + (
         f"+gate{gate_reject:g}" if gate_reject else "") + (
-        "+default-buckets" if fine_buckets == "default" else "")
+        "+default-buckets" if fine_buckets == "default" else "") + (
+        "+size-variant(round-based AR)" if size_variant else "")
     # vs_baseline: the reference pipeline is not runnable here (RDKit), but
     # its measured coarse stage ALONE (torch-CPU, BASELINE_MEASURED.json) is
     # an upper bound on its end-to-end rate, so the ratio is a LOWER bound
@@ -361,6 +380,10 @@ def main():
     p.add_argument("--reps", type=int, default=3,
                    help="pipeline: timed repetitions (best-of; the shared "
                         "chip swings ~±20%% between windows)")
+    p.add_argument("--size-variant", action="store_true",
+                   help="pipeline: the ar_sampling.py size variant — "
+                        "vocab_conditioning + per-node size-restricted "
+                        "vocab support via the round-based ARSampler")
     args = p.parse_args()
     if args.stage is None:
         # driver headline: the reference-shaped pipeline (refine on every
@@ -386,7 +409,7 @@ def main():
                        steps=args.steps, bf16=args.bf16, refine=args.refine,
                        gate_reject=args.gate_reject,
                        fine_buckets="default" if args.default_buckets else False,
-                       reps=args.reps)
+                       reps=args.reps, size_variant=args.size_variant)
 
 
 if __name__ == "__main__":

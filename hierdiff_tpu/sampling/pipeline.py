@@ -28,7 +28,8 @@ from hierdiff_tpu.models.edge_denoise import EdgeDenoise
 from hierdiff_tpu.ops.distributions import DistributionNodes
 from hierdiff_tpu.sampling.ar import ARSampler
 from hierdiff_tpu.sampling.beam import TreeState
-from hierdiff_tpu.sampling.coarse import make_masks_for_counts, sample_coarse
+from hierdiff_tpu.sampling.coarse import (CoarseChunkProgram,
+                                          make_masks_for_counts, sample_coarse)
 from hierdiff_tpu.sampling.lattice import LatticeSampler, _next_pow2, pow2_chunks
 
 
@@ -62,6 +63,14 @@ def round_int_features(h: np.ndarray, int_nf: int) -> np.ndarray:
     return np.concatenate([np.round(h[:, :int_nf]), h[:, int_nf:]], axis=1)
 
 
+def _coarse_seg_steps() -> int:
+    """Coarse-chain segment length (reverse steps per device program) for
+    the segmented dispatch path; 0 = monolithic ``sample_coarse`` (one
+    program per chunk). See CoarseChunkProgram for why segmentation exists
+    (fine-round queue wait during stage-1/2 overlap)."""
+    return int(os.environ.get("HIERDIFF_COARSE_SEG", "0"))
+
+
 class _BlurFeeder:
     """Streams stage-1 coarse chunks into ``LatticeSampler.sample_streamed``.
 
@@ -90,16 +99,50 @@ class _BlurFeeder:
         self.inflight = deque()
         self.pos = 0
         self.budget = int(inflight or os.environ.get("HIERDIFF_COARSE_INFLIGHT", "2"))
+        # seg mode: the chunk's reverse chain runs as ~steps/seg small
+        # programs (CoarseChunkProgram) and ``budget`` bounds in-flight
+        # SEGMENT futures — the fine stage's fused checks then wait at most
+        # ~budget x seg_time on the FIFO queue instead of behind whole
+        # multi-second chunk scans (the measured failure mode of the first
+        # overlap A/B: 32.8 vs 33.1 mol/s, i.e. no overlap at all)
+        self.seg = _coarse_seg_steps() if pipe.mesh is None else 0
+        self.max_progs = 2
         self.t_last_coarse: Optional[float] = None
         self._top_up()
 
     def _top_up(self) -> None:
+        if self.seg:
+            self._drive()
+            return
         while len(self.inflight) < self.budget and self.pos < len(self.chunks):
             nb, chunk = self.chunks[self.pos]
             self.pos += 1
             xh = self.pipe._dispatch_coarse(self.rng_key, self.counts, nb,
                                             chunk, self.batch_size)
             self.inflight.append((chunk, xh))
+
+    def _drive(self) -> None:
+        """Seg mode: keep ≤ budget segment programs in flight, chaining each
+        chunk's segments and starting the next chunk when the current ones
+        are fully dispatched. Non-blocking."""
+        live = sum(p.prune() for _, p in self.inflight)
+        while live < self.budget:
+            prog = next((p for _, p in self.inflight
+                         if not p.dispatched_all), None)
+            if prog is None:
+                if (self.pos < len(self.chunks)
+                        and len(self.inflight) < self.max_progs):
+                    nb, chunk = self.chunks[self.pos]
+                    self.pos += 1
+                    p = self.pipe._dispatch_coarse_program(
+                        self.rng_key, self.counts, nb, chunk,
+                        self.batch_size, self.seg)
+                    self.inflight.append((chunk, p))
+                    live += 1        # the init program's z future
+                    continue
+                break
+            prog.advance()
+            live += 1
 
     @property
     def done(self) -> bool:
@@ -114,6 +157,18 @@ class _BlurFeeder:
 
     def pump(self) -> List[list]:
         out = []
+        if self.seg:
+            self._drive()
+            while self.inflight:
+                prog = self.inflight[0][1]
+                if prog.result is None or not CoarseChunkProgram._ready(
+                        prog.result):
+                    break
+                chunk, prog = self.inflight.popleft()
+                self._drive()            # keep the device fed before reading
+                out.append(self._absorb(chunk, prog.result))
+            self._drive()
+            return out
         while self.inflight and getattr(
                 self.inflight[0][1], "is_ready", lambda: False)():
             chunk, xh = self.inflight.popleft()
@@ -125,6 +180,12 @@ class _BlurFeeder:
     def collect_next(self) -> List[list]:
         if not self.inflight:
             return []
+        if self.seg:
+            chunk, prog = self.inflight.popleft()
+            while not prog.dispatched_all:
+                prog.advance()           # flood: we block on this chunk anyway
+            self._drive()                # later chunks keep streaming
+            return [self._absorb(chunk, prog.result)]
         chunk, xh = self.inflight.popleft()
         self._top_up()                   # dispatch before the blocking read
         return [self._absorb(chunk, xh)]
@@ -256,6 +317,25 @@ class GenerationPipeline:
             pass
         return xh
 
+    def _dispatch_coarse_program(self, rng_key, counts: np.ndarray, nb: int,
+                                 chunk, batch_size: Optional[int] = None,
+                                 seg: int = 128) -> CoarseChunkProgram:
+        """Segmented variant of ``_dispatch_coarse``: same chunk pad policy
+        and the same ``fold_in(rng_key, first index)`` rng partition, but the
+        reverse chain runs as ~steps/seg small device programs
+        (CoarseChunkProgram) whose dispatch the caller paces. Off-mesh only.
+        Samples are bit-identical to ``sample_coarse`` (pinned in
+        tests/test_beam.py::test_segmented_coarse_matches_monolithic)."""
+        chunk = np.asarray(chunk)
+        ck = counts[chunk]
+        pad_b = _next_pow2(len(chunk))
+        ck_pad = np.concatenate([ck, np.ones(pad_b - len(chunk), ck.dtype)])
+        nm, em = make_masks_for_counts(ck_pad, nb)
+        return CoarseChunkProgram(
+            self.coarse_model, self.coarse_params,
+            jax.random.fold_in(rng_key, int(chunk[0])), nm, em,
+            steps=self.sample_steps, seg=seg, packed=True)
+
     def _absorb_coarse(self, chunk, xh: np.ndarray, counts: np.ndarray,
                        out: list) -> None:
         """Blocking half: unpack one chunk's packed readback into per-
@@ -286,10 +366,22 @@ class GenerationPipeline:
         # dispatch every chunk first (JAX dispatch is async — host packing
         # of chunk k+1 overlaps device compute of chunk k), then collect
         # each as ONE packed (B, N, 3+F) readback (see sampling/lattice.py)
+        seg = _coarse_seg_steps()
         pending = []
-        for nb, chunk in self._plan_chunks(counts, batch_size):
-            pending.append((chunk, self._dispatch_coarse(
-                rng_key, counts, nb, chunk, batch_size)))
+        if seg and self.mesh is None:
+            # same segmented programs as the overlapped feeder, so serial
+            # and streamed runs stay bit-identical; all segments dispatch
+            # up front (back-to-back on the queue — continuity as before)
+            for nb, chunk in self._plan_chunks(counts, batch_size):
+                prog = self._dispatch_coarse_program(rng_key, counts, nb,
+                                                     chunk, batch_size, seg)
+                while not prog.dispatched_all:
+                    prog.advance()
+                pending.append((chunk, prog.result))
+        else:
+            for nb, chunk in self._plan_chunks(counts, batch_size):
+                pending.append((chunk, self._dispatch_coarse(
+                    rng_key, counts, nb, chunk, batch_size)))
         for chunk, xh in pending:
             self._absorb_coarse(chunk, np.asarray(xh), counts, out)
         return out  # type: ignore[return-value]

@@ -400,6 +400,60 @@ def test_pipeline_overlap_blur_bit_identical(fine_model):
     assert sum(t is not None for t in r_overlap.trees) == 10
 
 
+def test_segmented_coarse_matches_monolithic(fine_model):
+    """CoarseChunkProgram (init -> seg-scan xK -> final as SEPARATE device
+    programs, the stage-1/2 overlap dispatch unit) is bit-identical to the
+    one-scan sample_coarse: same rng split, same per-step fold by s, same
+    step math — only program boundaries differ. Checked at seg lengths that
+    split evenly, raggedly, and degenerate to one segment; and end-to-end:
+    the pipeline with HIERDIFF_COARSE_SEG set produces bit-identical blur
+    (serial AND streamed) to the monolithic default."""
+    import os
+
+    from hierdiff_tpu.data.assets import load_geom_histogram
+    from hierdiff_tpu.models.diffusion import CoarseDiffusion
+    from hierdiff_tpu.sampling.coarse import (CoarseChunkProgram,
+                                              make_masks_for_counts,
+                                              sample_coarse)
+    from hierdiff_tpu.sampling.pipeline import GenerationPipeline
+
+    gen, denoise, dparams = fine_model
+    coarse = CoarseDiffusion(in_node_nf=8, timesteps=6, hidden_nf=32,
+                             n_layers=1)
+    nm, em = make_masks_for_counts(np.array([5, 7]), 8)
+    cb = {"positions": jnp.zeros((2, 8, 3)), "node_feature": jnp.zeros((2, 8, 8)),
+          "atom_mask": jnp.asarray(nm), "edge_mask": jnp.asarray(em)}
+    cparams = jax.jit(lambda r, b, r2: coarse.init(r, b, r2, train=True))(
+        jax.random.PRNGKey(0), cb, jax.random.PRNGKey(1))
+
+    key = jax.random.PRNGKey(7)
+    ref = np.asarray(sample_coarse(coarse, cparams, key, jnp.asarray(nm),
+                                   jnp.asarray(em), packed=True))
+    for seg in (1, 2, 4, 6, 100):     # ragged (4: 4+2), exact, one-segment
+        prog = CoarseChunkProgram(coarse, cparams, key, nm, em, seg=seg)
+        while not prog.dispatched_all:
+            prog.advance()
+        np.testing.assert_array_equal(np.asarray(prog.result), ref,
+                                      err_msg=f"seg={seg}")
+
+    pipe = GenerationPipeline(coarse, cparams, denoise, dparams,
+                              histogram=load_geom_histogram(), beam_size=2,
+                              max_n_cap=16)
+    base = pipe.run(jax.random.PRNGKey(5), 10, reconstruct=False,
+                    batch_size=4, overlap=False)
+    os.environ["HIERDIFF_COARSE_SEG"] = "2"
+    try:
+        for overlap in (False, True):
+            r = pipe.run(jax.random.PRNGKey(5), 10, reconstruct=False,
+                         batch_size=4, overlap=overlap)
+            for a, b in zip(base.blur, r.blur):
+                np.testing.assert_array_equal(a["x"], b["x"])
+                np.testing.assert_array_equal(a["h"], b["h"])
+            assert sum(t is not None for t in r.trees) == 10
+    finally:
+        del os.environ["HIERDIFF_COARSE_SEG"]
+
+
 def test_lattice_bucket_pad_invariance(fine_model):
     """The lattice trajectory must not depend on the pad bucket: n=5 trees
     padded to 8 vs 16 give identical trees (masked padding contributes
